@@ -1,0 +1,393 @@
+"""Lane inference: OSM tag map → ordered left-to-right LaneSpec list.
+
+From-scratch reimplementation of the semantics of osm2lanes'
+``get_lane_specs_ltr`` (reference osm2lanes/src/algorithm.rs:23-86, which
+delegates tag interpretation to the muv_osm crate). We interpret the
+common tag vocabulary directly:
+
+* driving lane counts (``lanes``, ``lanes:forward/backward``, ``oneway``)
+* sidewalk tags + inference (reference algorithm.rs:326-373)
+* cycle lanes and separated tracks (``cycleway:left/right=lane|track``,
+  ``…:oneway=no``, ``oneway:bicycle=no``)
+* parking lanes (``parking:lane:left/right/both``)
+* centre turn lane (``centre_turn_lane=yes``)
+* bus lanes (``busway[:left/right/both]=lane``)
+* kerb buffers between footpath zone and roadway (algorithm.rs:62-74)
+* construction lifecycle (algorithm.rs:79-83)
+* standalone footway/path/cycleway/steps/pedestrian/track + light rail
+
+Direction model (verified against reference unit cases in
+osm2lanes/src/tests.rs:14-101): travel lanes carry intrinsic directions;
+the centre line sits between the last backward and first forward travel
+lane; positional lanes (sidewalk/parking/buffer/shoulder) take the
+traffic direction of their side of the centre line (RHT: left=backward),
+mirroring algorithm.rs:89-112.
+
+Char codec matches the reference test surface exactly
+(osm2lanes/src/lib.rs to_char: d p s S b B C x l | f F; dirs ^ v).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# lane-type string constants (serialized into the Spark ArrayType column)
+DRIVING = "driving"
+PARKING = "parking"          # parking_type in subtype
+SIDEWALK = "sidewalk"
+SHOULDER = "shoulder"
+BIKING = "biking"
+BUS = "bus"
+SHARED_LEFT_TURN = "shared_left_turn"
+CONSTRUCTION = "construction"
+LIGHT_RAIL = "light_rail"
+BUFFER = "buffer"            # buffer kind in subtype
+FOOTWAY = "footway"
+SHARED_USE = "shared_use"
+
+FWD = "forward"
+BACK = "backward"
+
+TO_CHAR = {
+    DRIVING: "d", PARKING: "p", SIDEWALK: "s", SHOULDER: "S",
+    BIKING: "b", BUS: "B", SHARED_LEFT_TURN: "C", CONSTRUCTION: "x",
+    LIGHT_RAIL: "l", BUFFER: "|", FOOTWAY: "f", SHARED_USE: "F",
+}
+
+# default widths in meters — reference osm2lanes/src/lib.rs:293-363
+# (typical_lane_widths first entry per type; NORMAL=3.0, SERVICE=2.0,
+#  SIDEWALK=1.5, SHOULDER=0.5 from lib.rs:23-26)
+def default_width(lt: str, subtype: str, highway_type: str) -> float:
+    if lt == DRIVING:
+        return 2.0 if highway_type == "service" else 3.0
+    if lt == PARKING:
+        return 2.0 if highway_type == "service" else 3.0
+    if lt == BIKING:
+        return 1.5
+    if lt == BUS:
+        return 3.048  # 10 ft
+    if lt == SIDEWALK:
+        return 1.5
+    if lt == SHOULDER:
+        return 0.5
+    if lt == SHARED_LEFT_TURN:
+        return 3.0
+    if lt == CONSTRUCTION:
+        return 3.0
+    if lt == LIGHT_RAIL:
+        return 3.0
+    if lt == FOOTWAY:
+        return 2.0
+    if lt == SHARED_USE:
+        return 3.0
+    if lt == BUFFER:
+        return {
+            "stripes": 1.5, "flex_posts": 0.5, "planters": 2.0,
+            "jersey_barrier": 1.5, "curb": 0.1, "verge": 2.0,
+        }.get(subtype, 0.5)
+    return 3.0
+
+
+@dataclass
+class LaneSpec:
+    lt: str
+    dir: str
+    width: float
+    subtype: str = ""
+    allowed_turns: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "lt": self.lt, "dir": self.dir, "width": self.width,
+            "subtype": self.subtype, "allowed_turns": list(self.allowed_turns),
+        }
+
+
+def lanes_to_chars(specs: list[LaneSpec]) -> str:
+    return "".join(TO_CHAR[s.lt] for s in specs)
+
+
+def dirs_to_chars(specs: list[LaneSpec]) -> str:
+    return "".join("^" if s.dir == FWD else "v" for s in specs)
+
+
+NON_MOTORIZED = {"footway", "path", "pedestrian", "steps", "track", "cycleway"}
+
+TURN_DIRECTIONS = {
+    "left", "slight_left", "sharp_left", "through", "right",
+    "slight_right", "sharp_right", "merge_left", "merge_right", "reverse",
+}
+
+
+def _parse_turns(value: str) -> list[str]:
+    """turn:lanes single-lane value → list of turn directions
+    (reference osm2lanes/src/turns.rs:45-72; ';'-separated)."""
+    out = []
+    for raw in value.split(";"):
+        t = raw.strip()
+        if t in ("", "none"):
+            continue
+        if t in TURN_DIRECTIONS:
+            out.append(t)
+    return out
+
+
+def infer_sidewalk_tag(tags: dict, driving_side: str) -> str | None:
+    """Reference algorithm.rs:326-373 (infer_sidewalk_tags)."""
+    if "sidewalk" in tags:
+        return tags["sidewalk"]
+    hw = tags.get("highway", "")
+    if hw in ("footway", "path", "pedestrian", "steps", "track"):
+        return None
+    if "sidewalk:left" in tags or "sidewalk:right" in tags:
+        right = tags.get("sidewalk:right") != "no"
+        left = tags.get("sidewalk:left") != "no"
+        return {(True, True): "both", (True, False): "right",
+                (False, True): "left", (False, False): "none"}[(right, left)]
+    if (hw in ("motorway", "motorway_link")
+            or tags.get("junction") in ("intersection", "roundabout")
+            or tags.get("foot") == "no"
+            or hw in ("service", "cycleway", "pedestrian", "track")):
+        return "none"
+    if tags.get("oneway") == "yes":
+        side = "right" if driving_side == "right" else "left"
+        if hw in ("residential", "living_street") and tags.get("dual_carriageway") != "yes":
+            return "both"
+        return side
+    return "both"
+
+
+def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str):
+    """Return (kind, lanes) for cycleway on ``side``; kind in
+    {None, 'lane', 'track'}; lanes is list of (dir,) ordered
+    backward-then-forward for two-way."""
+    val = tags.get(f"cycleway:{side}") or tags.get("cycleway")
+    if val in (None, "no", "none", "separate"):
+        return None, []
+    kind = "track" if val in ("track", "opposite_track") else "lane"
+    twoway = (
+        tags.get(f"cycleway:{side}:oneway") == "no"
+        or tags.get("oneway:bicycle") == "no"
+    )
+    if twoway:
+        return kind, [BACK, FWD]
+    # single bike lane: forward on a oneway street, else side's direction
+    return kind, [FWD if street_oneway else side_default_dir]
+
+
+def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
+                       inferred_sidewalks: bool = True,
+                       inferred_kerbs: bool = True) -> list[LaneSpec]:
+    tags = dict(tags)
+    hw = tags.get("highway", "")
+    railway = tags.get("railway", "")
+    construction = hw == "construction"
+    if construction:
+        hw = tags.get("construction", "residential")
+        tags["highway"] = hw
+
+    # --- standalone non-road types -------------------------------------
+    specs: list[LaneSpec] | None = None
+    if railway in ("light_rail", "rail") and hw == "":
+        specs = [LaneSpec(LIGHT_RAIL, FWD, default_width(LIGHT_RAIL, "", hw))]
+        if tags.get("oneway") != "yes":
+            specs = [LaneSpec(LIGHT_RAIL, BACK, specs[0].width)] + specs
+    elif hw in ("footway", "pedestrian", "steps"):
+        specs = [LaneSpec(FOOTWAY, FWD, default_width(FOOTWAY, "", hw))]
+    elif hw == "path":
+        specs = [LaneSpec(SHARED_USE, FWD, default_width(SHARED_USE, "", hw))]
+    elif hw == "cycleway":
+        w = default_width(BIKING, "", hw)
+        if tags.get("oneway") == "yes":
+            specs = [LaneSpec(BIKING, FWD, w)]
+        else:
+            specs = [LaneSpec(BIKING, BACK, w), LaneSpec(BIKING, FWD, w)]
+        if tags.get("foot") == "yes":
+            specs = [LaneSpec(SHARED_USE, s.dir, default_width(SHARED_USE, "", hw))
+                     for s in specs]
+    if specs is not None:
+        if construction:
+            for s in specs:
+                s.lt = CONSTRUCTION
+        return specs
+
+    # --- roadway assembly -----------------------------------------------
+    oneway = tags.get("oneway") == "yes"
+    reverse_oneway = tags.get("oneway") == "-1"
+
+    n_lanes = None
+    if tags.get("lanes", "").isdigit():
+        n_lanes = max(1, int(tags["lanes"]))
+    if n_lanes is None:
+        if hw in ("service", "track"):
+            n_lanes = 1
+        else:
+            n_lanes = 1 if (oneway or reverse_oneway) else 2
+
+    n_fwd = n_back = 0
+    if oneway:
+        n_fwd = n_lanes
+    elif reverse_oneway:
+        n_back = n_lanes
+    else:
+        if tags.get("lanes:forward", "").isdigit():
+            n_fwd = int(tags["lanes:forward"])
+            n_back = (int(tags["lanes:backward"])
+                      if tags.get("lanes:backward", "").isdigit()
+                      else max(0, n_lanes - n_fwd))
+        elif tags.get("lanes:backward", "").isdigit():
+            n_back = int(tags["lanes:backward"])
+            n_fwd = max(0, n_lanes - n_back)
+        else:
+            n_back = n_lanes // 2
+            n_fwd = n_lanes - n_back
+
+    lane_lt = BUS if hw == "busway" else DRIVING
+    w_drive = default_width(lane_lt, "", hw)
+
+    back_driving = [LaneSpec(lane_lt, BACK, w_drive) for _ in range(n_back)]
+    fwd_driving = [LaneSpec(lane_lt, FWD, w_drive) for _ in range(n_fwd)]
+    if driving_side == "left":
+        # LHT: forward traffic occupies the left half of the carriageway
+        back_driving, fwd_driving = fwd_driving, back_driving
+
+    # turn:lanes applies to forward driving lanes left→right
+    if "turn:lanes" in tags and fwd_driving:
+        parts = tags["turn:lanes"].split("|")
+        for spec, part in zip(fwd_driving, parts):
+            spec.allowed_turns = _parse_turns(part)
+
+    middle: list[LaneSpec] = []
+    if tags.get("centre_turn_lane") == "yes":
+        middle = [LaneSpec(SHARED_LEFT_TURN, FWD, default_width(SHARED_LEFT_TURN, "", hw))]
+
+    # bus lanes adjacent to the driving lanes (busway:left/right/both=lane)
+    busway = tags.get("busway")
+    bus_left = tags.get("busway:left", busway if busway else None) == "lane"
+    bus_right = tags.get("busway:right", busway if busway else None) == "lane"
+
+    # side defaults: for a two-way street (RHT) the left side travels
+    # backward; mirrored for LHT
+    left_default = BACK if driving_side == "right" else FWD
+    right_default = FWD if driving_side == "right" else BACK
+    street_oneway = oneway or reverse_oneway
+    if reverse_oneway:
+        left_default = right_default = BACK
+    elif oneway:
+        left_default = right_default = FWD
+
+    bike_left_kind, bike_left = _bike_pair(tags, "left", oneway, left_default)
+    bike_right_kind, bike_right = _bike_pair(tags, "right", oneway, right_default)
+    w_bike = default_width(BIKING, "", hw)
+
+    def parking(side: str) -> list[LaneSpec]:
+        val = tags.get(f"parking:lane:{side}") or tags.get("parking:lane:both")
+        if val in ("parallel", "diagonal", "perpendicular"):
+            return [LaneSpec(PARKING, FWD, default_width(PARKING, "", hw), subtype=val)]
+        return []
+
+    park_left = parking("left")
+    park_right = parking("right")
+
+    sidewalk = infer_sidewalk_tag(tags, driving_side) if inferred_sidewalks \
+        else tags.get("sidewalk")
+    sw_left = sidewalk in ("both", "left")
+    sw_right = sidewalk in ("both", "right")
+    w_sw = default_width(SIDEWALK, "", hw)
+
+    shoulder = tags.get("shoulder")
+    sh_left = shoulder in ("both", "left", "yes")
+    sh_right = shoulder in ("both", "right", "yes")
+    w_sh = default_width(SHOULDER, "", hw)
+
+    # assemble LTR. Left side from edge inward:
+    #   sidewalk, [track bikes], kerb, shoulder, parking, [lane bikes], bus
+    left_zone: list[LaneSpec] = []
+    if sw_left:
+        left_zone.append(LaneSpec(SIDEWALK, FWD, w_sw))
+    if bike_left_kind == "track":
+        left_zone += [LaneSpec(BIKING, d, w_bike) for d in bike_left]
+    roadway_left: list[LaneSpec] = []
+    if sh_left:
+        roadway_left.append(LaneSpec(SHOULDER, FWD, w_sh))
+    roadway_left += park_left
+    if bike_left_kind == "lane":
+        roadway_left += [LaneSpec(BIKING, d, w_bike) for d in bike_left]
+    if bus_left and lane_lt != BUS:
+        roadway_left.append(LaneSpec(BUS, left_default if not street_oneway else FWD,
+                                     default_width(BUS, "", hw)))
+
+    roadway_right: list[LaneSpec] = []
+    if bus_right and lane_lt != BUS:
+        roadway_right.append(LaneSpec(BUS, right_default if not street_oneway else FWD,
+                                      default_width(BUS, "", hw)))
+    if bike_right_kind == "lane":
+        roadway_right += [LaneSpec(BIKING, d, w_bike) for d in bike_right]
+    roadway_right += park_right
+    if sh_right:
+        roadway_right.append(LaneSpec(SHOULDER, FWD, w_sh))
+    right_zone: list[LaneSpec] = []
+    if bike_right_kind == "track":
+        right_zone += [LaneSpec(BIKING, d, w_bike) for d in bike_right]
+    if sw_right:
+        right_zone.append(LaneSpec(SIDEWALK, FWD, w_sw))
+
+    roadway = roadway_left + back_driving + middle + fwd_driving + roadway_right
+
+    # kerb buffers between footpath zone and roadway (algorithm.rs:62-74)
+    kerb_w = default_width(BUFFER, "curb", hw)
+    specs = []
+    specs += left_zone
+    if inferred_kerbs and left_zone and roadway:
+        specs.append(LaneSpec(BUFFER, FWD, kerb_w, subtype="curb"))
+    specs += roadway
+    if inferred_kerbs and right_zone and roadway:
+        specs.append(LaneSpec(BUFFER, FWD, kerb_w, subtype="curb"))
+    specs += right_zone
+
+    if not roadway and not specs:
+        specs = [LaneSpec(DRIVING, FWD, w_drive)]
+
+    # --- positional directions (algorithm.rs:89-112 traffic_direction) --
+    # The centre line sits after the *initial run* of left-side-direction
+    # travel lanes (scanning LTR from the first travel lane). Verified
+    # against all reference unit cases: a contraflow track left of the
+    # carriageway pulls the centre left of the carriageway; a two-way
+    # track right of it does not.
+    POSITIONAL = {SIDEWALK, PARKING, BUFFER, SHOULDER}
+    left_dir = BACK if driving_side == "right" else FWD
+    right_dir = FWD if driving_side == "right" else BACK
+    travel_idx = [i for i, s in enumerate(specs) if s.lt not in POSITIONAL]
+    if not travel_idx:
+        centre = 0
+    else:
+        centre = travel_idx[0]
+        for i in travel_idx:
+            if specs[i].dir == left_dir:
+                centre = i + 1
+            else:
+                break
+    for i, s in enumerate(specs):
+        if s.lt in POSITIONAL:
+            s.dir = left_dir if i < centre else right_dir
+
+    if construction:
+        for s in specs:
+            s.lt = CONSTRUCTION
+
+    return specs
+
+
+def oneway_for_driving(specs: list[LaneSpec]):
+    """None if bidirectional driving; else the single direction
+    (reference osm2lanes/src/lib.rs:386-405)."""
+    fwd = any(s.lt == DRIVING and s.dir == FWD for s in specs)
+    back = any(s.lt == DRIVING and s.dir == BACK for s in specs)
+    if fwd and back:
+        return None
+    if fwd:
+        return FWD
+    if back:
+        return BACK
+    return None
