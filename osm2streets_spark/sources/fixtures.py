@@ -1,0 +1,481 @@
+"""Deterministic synthetic fixture generator.
+
+Produces the engine's input: a table of interleaved text+media documents
+(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>) whose
+``kind='osm_xml'`` spans carry OSM XML fragments — the shape mandated by
+BASELINE.json ``input_hint``. Topologies mirror the reference's snapshot
+fixtures (/root/reference/tests/src/*, e.g. aurora_sausage_link,
+seattle_triangle) but are synthesized analytically so expected outputs
+are known by construction (FIXTURES.md §2).
+
+Alongside the documents table we write ground-truth parsed tables
+(gt_nodes / gt_ways / gt_relations) derived from the same in-memory
+structures. These let a DuckDB oracle verify the Spark XML-parse +
+split pipeline end-to-end without itself parsing XML.
+
+Everything is seeded and reproducible: doc i of scale s is identical
+across runs and machines (no wall-clock, no os randomness).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..lanes import get_lane_specs_ltr, lanes_to_chars, dirs_to_chars
+
+M_PER_DEG = 111_319.490793
+
+FIXTURE_ROOT = os.environ.get(
+    "OSM2STREETS_FIXTURE_ROOT", "/root/repo/fixtures"
+)
+
+# documents per scale factor (street docs are heavier than TPC-H rows)
+SF_DOCS = {"sf0.001": 18, "sf0.01": 180, "sf0.1": 1800}
+
+
+# ---------------------------------------------------------------------------
+# topology builders — all coordinates in local meters; node ids unique per
+# doc. Returns (nodes, ways, relations):
+#   nodes: list[(node_id, x_m, y_m, tags: dict)]
+#   ways:  list[(way_id, [node_ids], tags: dict)]
+#   rels:  list[(rel_id, [(role, type, ref)], tags: dict)]
+# ---------------------------------------------------------------------------
+
+def topo_grid_3x3():
+    nodes, ways = [], []
+    nid = {}
+    k = 1
+    for i in range(3):
+        for j in range(3):
+            nid[(i, j)] = k
+            nodes.append((k, i * 80.0, j * 80.0, {}))
+            k += 1
+    w = 100
+    for j in range(3):  # horizontal streets
+        ways.append((w, [nid[(0, j)], nid[(1, j)], nid[(2, j)]],
+                     {"highway": "residential", "name": f"H{j} St"}))
+        w += 1
+    for i in range(3):  # vertical streets
+        ways.append((w, [nid[(i, 0)], nid[(i, 1)], nid[(i, 2)]],
+                     {"highway": "residential", "name": f"V{i} Ave"}))
+        w += 1
+    return nodes, ways, []
+
+
+def topo_t_junction():
+    nodes = [(1, 0.0, 0.0, {}), (2, 100.0, 0.0, {}), (3, 200.0, 0.0, {}),
+             (4, 100.0, 90.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "secondary", "name": "Main St"}),
+            (101, [4, 2], {"highway": "residential", "name": "Side St"})]
+    return nodes, ways, []
+
+
+def topo_four_way_signal():
+    nodes = [(1, -100.0, 0.0, {}), (2, 0.0, 0.0, {"highway": "traffic_signals"}),
+             (3, 100.0, 0.0, {}), (4, 0.0, -100.0, {}), (5, 0.0, 100.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "primary", "name": "East-West", "lanes": "4"}),
+            (101, [4, 2, 5], {"highway": "secondary", "name": "North-South", "lanes": "2"})]
+    return nodes, ways, []
+
+
+def topo_degenerate_chain():
+    # one logical street split by a lane-count change then by nothing
+    nodes = [(1, 0.0, 0.0, {}), (2, 90.0, 5.0, {}), (3, 180.0, 0.0, {}),
+             (4, 270.0, -5.0, {})]
+    ways = [(100, [1, 2], {"highway": "tertiary", "name": "Chain Rd", "lanes": "2"}),
+            (101, [2, 3], {"highway": "tertiary", "name": "Chain Rd", "lanes": "4"}),
+            (102, [3, 4], {"highway": "tertiary", "name": "Chain Rd", "lanes": "4"})]
+    return nodes, ways, []
+
+
+def topo_sausage_link():
+    # short junction=intersection road between two halves (analogue
+    # aurora_sausage_link)
+    nodes = [(1, -120.0, 4.0, {}), (2, 0.0, 4.0, {}), (3, 8.0, -4.0, {}),
+             (4, 128.0, -4.0, {}), (5, -120.0, -12.0, {}), (6, 136.0, 12.0, {})]
+    ways = [(100, [1, 2], {"highway": "primary", "name": "Aurora N", "oneway": "yes"}),
+            (101, [2, 3], {"highway": "primary", "junction": "intersection"}),
+            (102, [3, 4], {"highway": "primary", "name": "Aurora S", "oneway": "yes"}),
+            (103, [5, 2], {"highway": "residential", "name": "Feeder W"}),
+            (104, [3, 6], {"highway": "residential", "name": "Feeder E"})]
+    return nodes, ways, []
+
+
+def topo_cul_de_sac():
+    # loop road: way whose endpoints are the same node (src_i == dst_i)
+    nodes = [(1, 0.0, 0.0, {}), (2, 100.0, 0.0, {}), (3, 160.0, 40.0, {}),
+             (4, 160.0, -40.0, {})]
+    ways = [(100, [1, 2], {"highway": "residential", "name": "Stem Rd"}),
+            (101, [2, 3, 4, 2], {"highway": "residential", "name": "Loop Ct"})]
+    return nodes, ways, []
+
+
+def topo_disconnected_fragment():
+    nodes = [(1, 0.0, 0.0, {}), (2, 100.0, 0.0, {}), (3, 200.0, 0.0, {}),
+             (4, 100.0, 100.0, {}),
+             # detached fragment, far away
+             (5, 600.0, 600.0, {}), (6, 700.0, 600.0, {}), (7, 800.0, 600.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "residential", "name": "Main"}),
+            (101, [2, 4], {"highway": "residential", "name": "Branch"}),
+            (102, [5, 6], {"highway": "service"}),
+            (103, [6, 7], {"highway": "service"})]
+    return nodes, ways, []
+
+
+def topo_restricted_turn():
+    nodes = [(1, -100.0, 0.0, {}), (2, 0.0, 0.0, {}), (3, 100.0, 0.0, {}),
+             (4, 0.0, -100.0, {}), (5, 0.0, 100.0, {})]
+    ways = [(100, [1, 2], {"highway": "secondary", "name": "W In"}),
+            (101, [2, 3], {"highway": "secondary", "name": "E Out"}),
+            (102, [4, 2], {"highway": "secondary", "name": "S In"}),
+            (103, [2, 5], {"highway": "secondary", "name": "N Out"})]
+    rels = [(1000, [("from", "way", 100), ("via", "node", 2), ("to", "way", 103)],
+             {"type": "restriction", "restriction": "no_left_turn"})]
+    return nodes, ways, rels
+
+
+LANE_ZOO_TAGS = [
+    {"highway": "residential"},
+    {"highway": "primary", "lanes": "2", "oneway": "yes", "sidewalk": "both",
+     "cycleway:left": "lane"},
+    {"highway": "secondary", "lanes": "4", "sidewalk": "both",
+     "parking:lane:both": "parallel", "cycleway:right": "track",
+     "cycleway:right:oneway": "no"},
+    {"highway": "tertiary", "lanes": "2", "sidewalk": "both",
+     "parking:lane:left": "parallel", "centre_turn_lane": "yes"},
+    {"highway": "service"},
+    {"highway": "footway"},
+    {"highway": "cycleway"},
+    {"highway": "motorway", "lanes": "3", "oneway": "yes", "maxspeed": "60 mph"},
+    {"highway": "residential", "maxspeed": "30", "layer": "1"},
+    {"highway": "busway"},
+]
+
+
+def topo_lane_zoo():
+    nodes, ways = [], []
+    nid = 1
+    for row, tags in enumerate(LANE_ZOO_TAGS):
+        y = row * 40.0
+        nodes.append((nid, 0.0, y, {}))
+        nodes.append((nid + 1, 150.0, y, {}))
+        ways.append((100 + row, [nid, nid + 1], dict(tags, name=f"Zoo {row}")))
+        nid += 2
+    return nodes, ways, []
+
+
+def topo_dead_end():
+    nodes = [(1, 0.0, 0.0, {}), (2, 100.0, 0.0, {}), (3, 200.0, 0.0, {}),
+             (4, 100.0, 80.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "residential", "name": "Through"}),
+            (101, [2, 4], {"highway": "service", "name": "Driveway"})]
+    return nodes, ways, []
+
+
+def topo_on_off_ramp():
+    # motorway + shallow-angle link (analogue i5_exit_ramp)
+    nodes = [(1, -300.0, 0.0, {}), (2, 0.0, 0.0, {}), (3, 300.0, 0.0, {}),
+             (4, 300.0, 60.0, {}), (5, 500.0, 120.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "motorway", "lanes": "3", "oneway": "yes",
+                              "name": "I-5"}),
+            (101, [2, 4, 5], {"highway": "motorway_link", "oneway": "yes",
+                              "name": "Exit 1"})]
+    return nodes, ways, []
+
+
+def topo_parallel_cycletrack():
+    nodes = [(1, 0.0, 0.0, {}), (2, 200.0, 0.0, {}), (3, 400.0, 0.0, {}),
+             (4, 8.0, 8.0, {}), (5, 200.0, 8.0, {}), (6, 392.0, 8.0, {}),
+             (7, 0.0, 8.0, {}), (8, 400.0, 8.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "primary", "name": "Roosevelt", "lanes": "2"}),
+            (101, [4, 5, 6], {"highway": "cycleway", "name": "Roosevelt Track"}),
+            (102, [1, 7], {"highway": "footway"}),   # connector <10 m
+            (103, [3, 8], {"highway": "footway"})]
+    return nodes, ways, []
+
+
+def topo_dual_carriageway_split():
+    nodes = [(1, -200.0, 0.0, {}), (2, 0.0, 0.0, {}),
+             (3, 100.0, 25.0, {}), (4, 300.0, 25.0, {}),
+             (5, 100.0, -25.0, {}), (6, 300.0, -25.0, {}),
+             (7, 400.0, 0.0, {}), (8, 600.0, 0.0, {})]
+    ways = [(100, [1, 2], {"highway": "primary", "name": "Northgate Way"}),
+            (101, [2, 3, 4, 7], {"highway": "primary", "name": "Northgate Way",
+                                 "oneway": "yes", "dual_carriageway": "yes"}),
+            (102, [7, 6, 5, 2], {"highway": "primary", "name": "Northgate Way",
+                                 "oneway": "yes", "dual_carriageway": "yes"}),
+            (103, [7, 8], {"highway": "primary", "name": "Northgate Way"})]
+    return nodes, ways, []
+
+
+def topo_crossing_features():
+    nodes = [(1, -100.0, 0.0, {}),
+             (2, 0.0, 0.0, {"highway": "crossing", "crossing": "marked"}),
+             (3, 100.0, 0.0, {}),
+             (4, 200.0, 0.0, {"highway": "crossing", "crossing": "traffic_signals",
+                              "crossing:island": "yes"}),
+             (5, 300.0, 0.0, {}),
+             (6, 100.0, -80.0, {}), (7, 100.0, 80.0, {})]
+    ways = [(100, [1, 2, 3, 4, 5], {"highway": "secondary", "name": "Crossing Rd",
+                                    "lanes": "2"}),
+            (101, [6, 3, 7], {"highway": "residential", "name": "Minor St"})]
+    return nodes, ways, []
+
+
+def topo_light_rail():
+    nodes = [(1, 0.0, 0.0, {}), (2, 150.0, 10.0, {}), (3, 300.0, 0.0, {}),
+             (4, 0.0, 40.0, {}), (5, 300.0, 40.0, {})]
+    ways = [(100, [1, 2, 3], {"railway": "light_rail", "name": "Link"}),
+            (101, [4, 5], {"highway": "residential", "name": "MLK Way"})]
+    return nodes, ways, []
+
+
+def topo_dense_cell(n_seg: int = 60):
+    # many short segments radiating in one small cell — skew driver
+    nodes, ways = [], []
+    nid, wid = 1, 100
+    for s in range(n_seg):
+        ang = 2 * math.pi * s / n_seg
+        r0 = 10.0 + (s % 5) * 6.0
+        r1 = r0 + 25.0
+        nodes.append((nid, r0 * math.cos(ang), r0 * math.sin(ang), {}))
+        nodes.append((nid + 1, r1 * math.cos(ang), r1 * math.sin(ang), {}))
+        ways.append((wid, [nid, nid + 1], {"highway": "service"}))
+        nid += 2
+        wid += 1
+    return nodes, ways, []
+
+
+def topo_y_fork():
+    nodes = [(1, 0.0, 0.0, {}), (2, 100.0, 0.0, {}),
+             (3, 200.0, 60.0, {}), (4, 200.0, -60.0, {})]
+    ways = [(100, [1, 2], {"highway": "tertiary", "name": "Stem"}),
+            (101, [2, 3], {"highway": "tertiary", "name": "Left Fork"}),
+            (102, [2, 4], {"highway": "tertiary", "name": "Right Fork"})]
+    return nodes, ways, []
+
+
+def topo_filtered_ways():
+    # exercises F2: non-whitelisted + area=yes + construction w/o detail
+    nodes = [(1, 0.0, 0.0, {}), (2, 100.0, 0.0, {}), (3, 200.0, 0.0, {}),
+             (4, 0.0, 50.0, {}), (5, 100.0, 50.0, {}),
+             (6, 0.0, 100.0, {}), (7, 100.0, 100.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "residential", "name": "Kept"}),
+            (101, [1, 4], {"highway": "proposed"}),                 # not whitelisted
+            (102, [4, 5], {"highway": "pedestrian", "area": "yes"}),  # area
+            (103, [6, 7], {"highway": "construction"}),             # no detail
+            (104, [2, 5], {"highway": "construction",
+                           "construction": "residential"}),          # kept
+            (105, [5, 7], {"waterway": "stream"})]                  # no highway
+    return nodes, ways, []
+
+
+TOPOLOGIES = [
+    ("grid_3x3", topo_grid_3x3),
+    ("t_junction", topo_t_junction),
+    ("four_way_signal", topo_four_way_signal),
+    ("degenerate_chain", topo_degenerate_chain),
+    ("sausage_link", topo_sausage_link),
+    ("cul_de_sac", topo_cul_de_sac),
+    ("disconnected_fragment", topo_disconnected_fragment),
+    ("restricted_turn", topo_restricted_turn),
+    ("lane_zoo", topo_lane_zoo),
+    ("dead_end", topo_dead_end),
+    ("on_off_ramp", topo_on_off_ramp),
+    ("parallel_cycletrack", topo_parallel_cycletrack),
+    ("dual_carriageway_split", topo_dual_carriageway_split),
+    ("crossing_features", topo_crossing_features),
+    ("light_rail", topo_light_rail),
+    ("dense_cell", topo_dense_cell),
+    ("y_fork", topo_y_fork),
+    ("filtered_ways", topo_filtered_ways),
+]
+
+
+# ---------------------------------------------------------------------------
+# document assembly
+# ---------------------------------------------------------------------------
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _tags_xml(tags: dict) -> str:
+    return "".join(
+        f'<tag k="{_xml_escape(k)}" v="{_xml_escape(v)}"/>' for k, v in tags.items()
+    )
+
+
+def _slippy_tile(lon: float, lat: float, z: int):
+    n = 2 ** z
+    x = int((lon + 180.0) / 360.0 * n)
+    lat_r = math.radians(lat)
+    y = int((1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n)
+    return x, y
+
+
+def build_document(doc_idx: int, seed: int = 42):
+    """Build one document + its ground-truth rows. Fully deterministic."""
+    name, builder = TOPOLOGIES[doc_idx % len(TOPOLOGIES)]
+    doc_id = f"{name}:{doc_idx}"
+    rng = random.Random(f"{seed}:{doc_idx}")
+
+    # spread docs across a lat/lon grid so they never overlap
+    lat0 = 30.0 + (doc_idx % 97) * 0.05
+    lon0 = -120.0 + ((doc_idx * 13) % 181) * 0.05
+    mlat = M_PER_DEG
+    mlon = M_PER_DEG * math.cos(math.radians(lat0))
+
+    nodes, ways, rels = builder()
+    gt_nodes, node_xml = [], []
+    for node_id, x, y, tags in nodes:
+        jx = x + rng.uniform(-0.5, 0.5)
+        jy = y + rng.uniform(-0.5, 0.5)
+        lon = float(f"{lon0 + jx / mlon:.7f}")
+        lat = float(f"{lat0 + jy / mlat:.7f}")
+        tags_sorted = dict(sorted(tags.items()))
+        gt_nodes.append({
+            "doc_id": doc_id, "node_id": node_id, "lon": lon, "lat": lat,
+            "tags_json": json.dumps(tags_sorted, separators=(",", ":")),
+        })
+        node_xml.append(
+            f'<node id="{node_id}" lat="{lat:.7f}" lon="{lon:.7f}">'
+            f'{_tags_xml(tags_sorted)}</node>'
+        )
+
+    gt_ways, way_xml = [], []
+    for way_id, nd_refs, tags in ways:
+        tags_sorted = dict(sorted(tags.items()))
+        specs = get_lane_specs_ltr(tags_sorted)
+        gt_ways.append({
+            "doc_id": doc_id, "way_id": way_id,
+            "node_ids": list(nd_refs),
+            "tags_json": json.dumps(tags_sorted, separators=(",", ":")),
+            "highway": tags_sorted.get("highway", ""),
+            "railway": tags_sorted.get("railway", ""),
+            "name": tags_sorted.get("name", ""),
+            "lane_chars": lanes_to_chars(specs),
+            "dir_chars": dirs_to_chars(specs),
+        })
+        nds = "".join(f'<nd ref="{r}"/>' for r in nd_refs)
+        way_xml.append(f'<way id="{way_id}">{nds}{_tags_xml(tags_sorted)}</way>')
+
+    gt_rels, rel_xml = [], []
+    for rel_id, members, tags in rels:
+        tags_sorted = dict(sorted(tags.items()))
+        gt_rels.append({
+            "doc_id": doc_id, "rel_id": rel_id,
+            "members": [{"role": r, "type": t, "ref": ref} for r, t, ref in members],
+            "tags_json": json.dumps(tags_sorted, separators=(",", ":")),
+        })
+        ms = "".join(
+            f'<member type="{t}" ref="{ref}" role="{r}"/>' for r, t, ref in members
+        )
+        rel_xml.append(f'<relation id="{rel_id}">{ms}{_tags_xml(tags_sorted)}</relation>')
+
+    # interleave: xml part 1 | media tile ref | xml part 2 | media geojson ref
+    half = (len(node_xml) + 1) // 2
+    part1 = "".join(node_xml[:half])
+    part2 = "".join(node_xml[half:]) + "".join(way_xml) + "".join(rel_xml)
+    tx, ty = _slippy_tile(lon0, lat0, 14)
+    spans = [
+        {"kind": "osm_xml", "text": part1, "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": f"tile://14/{tx}/{ty}.pbf",
+         "offset": 1},
+        {"kind": "osm_xml", "text": part2, "media_ref": "", "offset": 2},
+        {"kind": "media", "text": "",
+         "media_ref": f"geojson://{doc_id}/streets", "offset": 3},
+    ]
+    doc_row = {"doc_id": doc_id, "spans": spans}
+    return doc_row, gt_nodes, gt_ways, gt_rels
+
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32()),
+]))
+
+MEMBER_TYPE = pa.list_(pa.struct([
+    ("role", pa.string()), ("type", pa.string()), ("ref", pa.int64()),
+]))
+
+
+def generate(n_docs: int, seed: int = 42):
+    docs, nodes, ways, rels = [], [], [], []
+    for i in range(n_docs):
+        d, n, w, r = build_document(i, seed)
+        docs.append(d)
+        nodes.extend(n)
+        ways.extend(w)
+        rels.extend(r)
+    return docs, nodes, ways, rels
+
+
+def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
+    """Write fixture parquet for the given scale if missing; returns dir."""
+    out_dir = os.path.join(root, sf_name)
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    n_docs = SF_DOCS.get(sf_name, 16)
+    os.makedirs(out_dir, exist_ok=True)
+    docs, nodes, ways, rels = generate(n_docs)
+
+    doc_table = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+        "spans": pa.array([d["spans"] for d in docs], SPAN_TYPE),
+    })
+    pq.write_table(doc_table, os.path.join(out_dir, "documents.parquet"))
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in nodes], pa.string()),
+            "node_id": pa.array([r["node_id"] for r in nodes], pa.int64()),
+            "lon": pa.array([r["lon"] for r in nodes], pa.float64()),
+            "lat": pa.array([r["lat"] for r in nodes], pa.float64()),
+            "tags_json": pa.array([r["tags_json"] for r in nodes], pa.string()),
+        }),
+        os.path.join(out_dir, "gt_nodes.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in ways], pa.string()),
+            "way_id": pa.array([r["way_id"] for r in ways], pa.int64()),
+            "node_ids": pa.array([r["node_ids"] for r in ways], pa.list_(pa.int64())),
+            "tags_json": pa.array([r["tags_json"] for r in ways], pa.string()),
+            "highway": pa.array([r["highway"] for r in ways], pa.string()),
+            "railway": pa.array([r["railway"] for r in ways], pa.string()),
+            "name": pa.array([r["name"] for r in ways], pa.string()),
+            "lane_chars": pa.array([r["lane_chars"] for r in ways], pa.string()),
+            "dir_chars": pa.array([r["dir_chars"] for r in ways], pa.string()),
+        }),
+        os.path.join(out_dir, "gt_ways.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rels], pa.string()),
+            "rel_id": pa.array([r["rel_id"] for r in rels], pa.int64()),
+            "members": pa.array([r["members"] for r in rels], MEMBER_TYPE),
+            "tags_json": pa.array([r["tags_json"] for r in rels], pa.string()),
+        }),
+        os.path.join(out_dir, "gt_relations.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to our fixture dir,
+    generating it on first use."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if sf_name not in SF_DOCS:
+        sf_name = "sf0.01"
+    return ensure_fixtures(sf_name)

