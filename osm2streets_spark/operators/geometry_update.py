@@ -1,0 +1,275 @@
+"""T6: per-intersection geometry update + movements, and the road
+center-line rebuild (K6/K9/K10).
+
+This is the heart of the engine (SURVEY.md §2.10 T6): a cogrouped
+applyInPandas over (doc_id, i_id) runs the pure-Python kernel
+(geom/intersection_kernel.py) per junction; the resulting trims join
+back to roads — each road receives trim_start from its src group and
+trim_end from its dst group, two independent groups exactly like the
+reference's per-intersection loop (operations/update_geometry.rs:8-65).
+
+Scale notes: the group key (doc_id, i_id) is maximally fine-grained —
+one junction per group, bounded payload (≤ degree × polyline points),
+so no group can blow executor memory even on a dense megacity doc.
+The shuffle is one exchange on the group key; AQE coalesces small
+partitions. Python crossing is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, LongType, StringType,
+    StructField, StructType,
+)
+
+from ..geom.core import (
+    lonlat_to_xy, xy_to_lonlat, simplify_rdp, slice_between,
+    extend_to_length, polyline_length,
+)
+from ..geom.intersection_kernel import (
+    sort_roads_cw, compute_trims, intersection_polygon, movements_and_kind,
+)
+
+M_PER_DEG = 111_319.490793
+
+
+# ---------------------------------------------------------------------------
+# road projection: lon/lat pts → local meters polyline (flat [x0,y0,x1,...])
+# with RDP ε=0.5 m (split_ways.rs:330-341)
+# ---------------------------------------------------------------------------
+
+XY_SCHEMA = ArrayType(DoubleType())
+
+
+def _project_udf_factory():
+    @F.pandas_udf(XY_SCHEMA)
+    def project_and_simplify(pts: pd.Series, lon0: pd.Series,
+                             lat0: pd.Series) -> pd.Series:
+        out = []
+        for p, lo, la in zip(pts, lon0, lat0):
+            arr = np.array([[q["lon"], q["lat"]] for q in p])
+            xy = lonlat_to_xy(arr, lo, la)
+            xy = simplify_rdp(xy, 0.5)
+            out.append(xy.ravel().tolist())
+        return pd.Series(out)
+    return project_and_simplify
+
+
+def with_projected_geometry(roads: DataFrame, anchors: DataFrame) -> DataFrame:
+    """Join per-doc projection anchors (min corner of the doc bbox) and
+    compute the meters-plane reference line."""
+    udf = _project_udf_factory()
+    r = roads.join(anchors.select(
+        "doc_id", F.col("min_lon").alias("lon0"), F.col("min_lat").alias("lat0")
+    ), "doc_id")
+    return r.withColumn("xy", udf("pts", "lon0", "lat0"))
+
+
+# ---------------------------------------------------------------------------
+# T6 kernel wrapper
+# ---------------------------------------------------------------------------
+
+TRIM_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("i_id", LongType()),
+    StructField("road_id", LongType()),
+    StructField("is_src_end", BooleanType()),
+    StructField("trim", DoubleType()),
+    StructField("polygon_xy", ArrayType(DoubleType())),
+    StructField("kind", StringType()),
+    StructField("movements_json", StringType()),
+])
+
+
+def _t6_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id = pdf["doc_id"].iloc[0]
+    i_id = int(pdf["i_id"].iloc[0])
+    driving_side = pdf["driving_side"].iloc[0]
+    roads = []
+    for row in pdf.itertuples(index=False):
+        xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
+        if bool(row.is_src_end):
+            xy_away = xy          # src end: polyline already leaves the junction
+        else:
+            xy_away = xy[::-1]    # dst end: reverse so it points away
+        banned, only = set(), set()
+        rj = row.restrictions_json
+        if isinstance(rj, str) and rj:
+            for item in json.loads(rj):
+                if item["frm"] == row.road_id:
+                    (banned if item["rt"] == "Ban" else only).add(item["to"])
+        roads.append({
+            "key": (int(row.road_id), bool(row.is_src_end)),
+            "road_id": int(row.road_id),
+            "is_src_end": bool(row.is_src_end),
+            "xy": xy_away,
+            "width": float(row.total_width),
+            "driveable": bool(row.driveable),
+            "can_out": bool(row.can_out),
+            "can_in": bool(row.can_in),
+            "banned_to": banned,
+            "only_to": only,
+        })
+    roads_cw = sort_roads_cw(roads)
+    trims = compute_trims(roads_cw)
+    ring = intersection_polygon(roads_cw, trims)
+    movements, kind = movements_and_kind(roads_cw, driving_side)
+
+    rows = []
+    first = True
+    for r in roads_cw:
+        rows.append((
+            doc_id, i_id, r["road_id"], r["is_src_end"],
+            float(trims[r["key"]]),
+            ring.ravel().tolist() if first else None,
+            kind if first else None,
+            json.dumps(movements) if first else None,
+        ))
+        first = False
+    return pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
+
+
+def run_t6(road_ends: DataFrame) -> DataFrame:
+    """road_ends columns: doc_id, i_id, road_id, is_src_end, xy,
+    total_width, driveable, can_out, can_in, restrictions_json,
+    driving_side."""
+    return road_ends.groupBy("doc_id", "i_id").applyInPandas(
+        _t6_kernel, schema=TRIM_SCHEMA
+    )
+
+
+def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
+                    driving_side: str = "right") -> DataFrame:
+    """Explode each road to its two intersection ends with drivability
+    per end (road.rs:232-254: a oneway road can only exit via its dst
+    and enter via its src)."""
+    fwd = F.col("oneway_dir") == "forward"
+    back = F.col("oneway_dir") == "backward"
+    bidi = F.col("oneway_dir") == ""
+    src = roads.select(
+        "doc_id", F.col("src_i").alias("i_id"), "road_id",
+        F.lit(True).alias("is_src_end"), "xy", "total_width", "driveable",
+        # out of the src end = driving backward along the road
+        (bidi | back).alias("can_out"),
+        (bidi | fwd).alias("can_in"),
+    )
+    dst = roads.select(
+        "doc_id", F.col("dst_i").alias("i_id"), "road_id",
+        F.lit(False).alias("is_src_end"), "xy", "total_width", "driveable",
+        (bidi | fwd).alias("can_out"),
+        (bidi | back).alias("can_in"),
+    )
+    ends = src.unionByName(dst)
+    if restrictions_by_i is not None:
+        ends = ends.join(restrictions_by_i, ["doc_id", "i_id"], "left")
+    else:
+        ends = ends.withColumn("restrictions_json", F.lit(None).cast("string"))
+    return ends.withColumn("driving_side", F.lit(driving_side))
+
+
+# ---------------------------------------------------------------------------
+# trim join-back + center-line rebuild (K9: road.rs:496-527)
+# ---------------------------------------------------------------------------
+
+CENTER_SCHEMA = StructType([
+    StructField("center_xy", ArrayType(DoubleType())),
+    StructField("trimmed_length", DoubleType()),
+    StructField("too_short", BooleanType()),
+])
+
+
+@F.pandas_udf(CENTER_SCHEMA)
+def _rebuild_center(xy: pd.Series, trim_start: pd.Series,
+                    trim_end: pd.Series) -> pd.DataFrame:
+    centers, lengths, too_short = [], [], []
+    for raw, t0, t1 in zip(xy, trim_start, trim_end):
+        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+        total = polyline_length(pl)
+        t0 = float(t0 or 0.0)
+        t1 = float(t1 or 0.0)
+        if t0 + t1 >= total - 0.1:
+            # road trimmed into oblivion → T1 collapse candidate
+            # (operations/update_geometry.rs:58-63)
+            mid = total / 2.0
+            c = slice_between(pl, max(mid - 0.05, 0), min(mid + 0.05, total))
+            centers.append(c.ravel().tolist())
+            lengths.append(float(polyline_length(c)))
+            too_short.append(True)
+            continue
+        if t0 < 0:
+            pl = extend_to_length(pl[::-1], total - t0)[::-1]
+            total = polyline_length(pl)
+            t0 = 0.0
+        if t1 < 0:
+            pl = extend_to_length(pl, total - t1)
+            total = polyline_length(pl)
+            t1 = 0.0
+        c = slice_between(pl, t0, total - t1)
+        centers.append(c.ravel().tolist())
+        lengths.append(float(polyline_length(c)))
+        too_short.append(False)
+    return pd.DataFrame({
+        "center_xy": centers, "trimmed_length": lengths,
+        "too_short": too_short,
+    })
+
+
+def apply_trims(roads: DataFrame, trims: DataFrame) -> DataFrame:
+    """Each road takes trim_start from its src-end group and trim_end
+    from its dst-end group (two independent joins — mirrors the
+    reference where each intersection trims its own end)."""
+    t_src = trims.where("is_src_end").select(
+        "doc_id", "road_id", F.col("trim").alias("trim_start"))
+    t_dst = trims.where(~F.col("is_src_end")).select(
+        "doc_id", "road_id", F.col("trim").alias("trim_end"))
+    roads = roads.drop("too_short", "center_xy", "trimmed_length",
+                       "trim_start", "trim_end")
+    r = roads.join(t_src, ["doc_id", "road_id"], "left") \
+             .join(t_dst, ["doc_id", "road_id"], "left") \
+             .fillna({"trim_start": 0.0, "trim_end": 0.0})
+    r = r.withColumn(
+        "_c", _rebuild_center("xy", "trim_start", "trim_end")
+    )
+    return r.select("*", "_c.*").drop("_c")
+
+
+def finalize_intersections(ints: DataFrame, trims: DataFrame,
+                           features: DataFrame | None = None) -> DataFrame:
+    """Assemble the final intersections table: polygon/kind/movements
+    from the T6 kernel + control from feature nodes (J3 at-node case:
+    signals on the junction node → Signalled, split_ways.rs:221-259)."""
+    meta = trims.where(F.col("polygon_xy").isNotNull()).select(
+        "doc_id", "i_id", "polygon_xy", "kind", "movements_json")
+    out = ints.join(meta, ["doc_id", "i_id"], "left")
+    if features is not None:
+        sig = features.select(
+            "doc_id", "node_id",
+            (F.col("feature") == "traffic_signals").alias("has_signal"),
+            F.when(F.col("feature") == "crossing", F.col("crossing_kind"))
+             .alias("crossing_kind"),
+            "crossing_island",
+        )
+        out = out.join(
+            sig.withColumnRenamed("node_id", "osm_node_id"),
+            ["doc_id", "osm_node_id"], "left",
+        )
+        out = out.withColumn(
+            "control",
+            F.when(F.coalesce("has_signal", F.lit(False)), F.lit("Signalled"))
+             .otherwise(F.lit("Uncontrolled")),
+        ).drop("has_signal")
+    else:
+        out = out.withColumn("control", F.lit("Uncontrolled")) \
+                 .withColumn("crossing_kind", F.lit(None).cast("string")) \
+                 .withColumn("crossing_island", F.lit(None).cast("boolean"))
+    # terminus/oblivion defaults: kernel emits kind for every junction it
+    # saw; junctions with no surviving roads keep kind_hint
+    out = out.withColumn("kind", F.coalesce("kind", "kind_hint"))
+    return out

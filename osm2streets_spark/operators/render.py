@@ -1,0 +1,174 @@
+"""S5/S6: GeoJSON renders.
+
+Reference render/mod.rs:48-108 (to_geojson): one polygon per road
+(center line buffered by total width) + one per intersection, with
+properties, coordinates restored to lon/lat. This is the
+snapshot-parity surface of the reference test suite.
+
+S6 (render/mod.rs:111-153): one polygon per lane via posexplode +
+per-lane parallel offsets.
+
+Both are Arrow-batched pandas UDF renders over already-computed
+geometry columns — pure per-row compute, no shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, StringType, StructField, StructType,
+)
+
+from ..geom.core import thicken_polyline, xy_to_lonlat, shift_polyline
+
+ROAD_FEATURE = StructType([
+    StructField("feature_json", StringType()),
+    StructField("c_lon", DoubleType()),
+    StructField("c_lat", DoubleType()),
+])
+
+
+@F.pandas_udf(ROAD_FEATURE)
+def _road_feature(center_xy: pd.Series, total_width: pd.Series,
+                  lon0: pd.Series, lat0: pd.Series,
+                  props_json: pd.Series) -> pd.DataFrame:
+    feats, clons, clats = [], [], []
+    for raw, w, lo, la, pj in zip(center_xy, total_width, lon0, lat0, props_json):
+        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+        ring = thicken_polyline(pl, float(w))
+        ll = xy_to_lonlat(ring, lo, la)
+        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        feat = {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [coords]},
+            "properties": json.loads(pj),
+        }
+        feats.append(json.dumps(feat, separators=(",", ":")))
+        c = ll.mean(axis=0)
+        clons.append(float(c[0]))
+        clats.append(float(c[1]))
+    return pd.DataFrame({"feature_json": feats, "c_lon": clons, "c_lat": clats})
+
+
+@F.pandas_udf(ROAD_FEATURE)
+def _intersection_feature(polygon_xy: pd.Series, lon0: pd.Series,
+                          lat0: pd.Series, props_json: pd.Series) -> pd.DataFrame:
+    feats, clons, clats = [], [], []
+    for raw, lo, la, pj in zip(polygon_xy, lon0, lat0, props_json):
+        ring = np.asarray(raw, dtype=float).reshape(-1, 2)
+        ll = xy_to_lonlat(ring, lo, la)
+        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        feat = {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [coords]},
+            "properties": json.loads(pj),
+        }
+        feats.append(json.dumps(feat, separators=(",", ":")))
+        c = ll.mean(axis=0)
+        clons.append(float(c[0]))
+        clats.append(float(c[1]))
+    return pd.DataFrame({"feature_json": feats, "c_lon": clons, "c_lat": clats})
+
+
+def render_roads(roads: DataFrame) -> DataFrame:
+    """Road polygons with the reference's property set (render/mod.rs:62-79:
+    id, type=road, osm_way_ids, src_i, dst_i, layer)."""
+    props = F.to_json(F.struct(
+        F.col("road_id").alias("id"),
+        F.lit("road").alias("type"),
+        F.col("osm_way_ids").alias("osm_way_ids"),
+        F.col("src_i").alias("src_i"),
+        F.col("dst_i").alias("dst_i"),
+        F.col("highway_type").alias("highway"),
+        F.col("name").alias("name"),
+        F.col("layer").alias("layer"),
+        F.col("lane_chars").alias("lanes_ltr"),
+        F.col("dir_chars").alias("dirs_ltr"),
+    ))
+    out = roads.withColumn(
+        "_f", _road_feature("center_xy", "total_width", "lon0", "lat0", props)
+    )
+    return out.select(
+        "doc_id", F.lit("road").alias("feature_type"),
+        F.col("road_id").alias("feature_id"),
+        F.col("_f.feature_json").alias("feature_json"),
+        F.col("_f.c_lon").alias("c_lon"), F.col("_f.c_lat").alias("c_lat"),
+    )
+
+
+def render_intersections(ints: DataFrame) -> DataFrame:
+    """Intersection polygons with kind/control/movements properties
+    (render/mod.rs:81-104)."""
+    props = F.to_json(F.struct(
+        F.col("i_id").alias("id"),
+        F.lit("intersection").alias("type"),
+        F.col("osm_node_id").alias("osm_node_ids"),
+        F.col("kind").alias("intersection_kind"),
+        F.col("control").alias("control"),
+        F.col("movements_json").alias("movements"),
+    ))
+    withgeom = ints.where(F.col("polygon_xy").isNotNull())
+    out = withgeom.withColumn(
+        "_f", _intersection_feature("polygon_xy", "lon0", "lat0", props)
+    )
+    return out.select(
+        "doc_id", F.lit("intersection").alias("feature_type"),
+        F.col("i_id").alias("feature_id"),
+        F.col("_f.feature_json").alias("feature_json"),
+        F.col("_f.c_lon").alias("c_lon"), F.col("_f.c_lat").alias("c_lat"),
+    )
+
+
+LANE_POLY = ArrayType(StringType())
+
+
+@F.pandas_udf(LANE_POLY)
+def _lane_polygons(center_xy: pd.Series, total_width: pd.Series,
+                   lane_specs_json: pd.Series, lon0: pd.Series,
+                   lat0: pd.Series) -> pd.Series:
+    """S6: per-lane polygons — offset each lane's center from the road
+    center by (cumulative width + w/2 - total/2), buffer by lane width."""
+    out = []
+    for raw, tw, lj, lo, la in zip(center_xy, total_width, lane_specs_json,
+                                   lon0, lat0):
+        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+        specs = json.loads(lj)
+        acc = 0.0
+        polys = []
+        for s in specs:
+            w = float(s["width"])
+            # lanes listed left→right; left edge at -total/2
+            # signed offset from road center: negative = left of travel,
+            # matching shift_polyline's positive-right convention
+            offset = acc + w / 2.0 - float(tw) / 2.0
+            lane_center = shift_polyline(pl, offset)
+            ring = thicken_polyline(lane_center, w)
+            ll = xy_to_lonlat(ring, lo, la)
+            coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+            polys.append(json.dumps({
+                "type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [coords]},
+                "properties": {"type": s["lt"], "subtype": s["subtype"],
+                               "direction": s["dir"], "width": w,
+                               "allowed_turns": s["allowed_turns"]},
+            }, separators=(",", ":")))
+            acc += w
+        out.append(polys)
+    return pd.Series(out)
+
+
+def render_lane_polygons(roads: DataFrame) -> DataFrame:
+    out = roads.withColumn(
+        "_polys",
+        _lane_polygons("center_xy", "total_width", "lane_specs_json",
+                       "lon0", "lat0"),
+    )
+    return out.select(
+        "doc_id", F.col("road_id"),
+        F.posexplode("_polys").alias("lane_idx", "feature_json"),
+    )

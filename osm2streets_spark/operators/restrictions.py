@@ -1,0 +1,68 @@
+"""J4: simple turn-restriction resolution.
+
+Reference split_ways.rs:123-160: (from_way, via_node, to_way) resolves
+to (from_road, to_road) at the via intersection; silently skipped when
+either way was filtered out or doesn't touch the via node.
+
+Spark expression: two hash joins — restriction×nodes (via coords →
+i_id), then restriction×roads twice (from / to side), each constrained
+to roads incident to the via intersection. All equi-joins on
+(doc_id, key); the restrictions side is tiny → broadcast.
+
+Via-way restrictions (J6, split_ways.rs:163-213) are rarer; TODO for a
+later round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+QUANTUM = 1e7
+
+
+def resolve_restrictions(restrictions: DataFrame, nodes: DataFrame,
+                         roads: DataFrame) -> DataFrame:
+    """→ (doc_id, i_id, restriction_type, from_road, to_road)."""
+    r = restrictions.where(F.col("via_node").isNotNull())
+    r = r.join(
+        nodes.select(
+            "doc_id", F.col("node_id").alias("via_node"),
+            F.round(F.col("lon") * QUANTUM).cast("long").alias("qx"),
+            F.round(F.col("lat") * QUANTUM).cast("long").alias("qy"),
+        ),
+        ["doc_id", "via_node"],
+    ).withColumn("i_id", F.xxhash64("doc_id", "qx", "qy"))
+
+    incident = roads.select(
+        "doc_id", "road_id", "way_id",
+        F.explode(F.array("src_i", "dst_i")).alias("i_id"),
+    )
+    frm = incident.select(
+        "doc_id", "i_id", F.col("way_id").alias("from_way"),
+        F.col("road_id").alias("from_road"))
+    to = incident.select(
+        "doc_id", "i_id", F.col("way_id").alias("to_way"),
+        F.col("road_id").alias("to_road"))
+
+    out = (
+        r.join(frm, ["doc_id", "i_id", "from_way"])
+        .join(to, ["doc_id", "i_id", "to_way"])
+        .select("doc_id", "i_id", "restriction_type", "from_road", "to_road")
+        .dropDuplicates()
+    )
+    return out
+
+
+def restrictions_by_intersection(resolved: DataFrame) -> DataFrame:
+    """Aggregate to one JSON payload per intersection for the T6 kernel."""
+    return resolved.groupBy("doc_id", "i_id").agg(
+        F.to_json(
+            F.collect_list(
+                F.struct(
+                    F.col("restriction_type").alias("rt"),
+                    F.col("from_road").alias("frm"),
+                    F.col("to_road").alias("to"),
+                )
+            )
+        ).alias("restrictions_json")
+    )

@@ -1,0 +1,77 @@
+"""Cell index + raster↔vector tile assignment.
+
+The north_star calls for H3/S2-style cell encoding for partition-local
+work and tile assignment of rendered output. Neither h3 nor s2 bindings
+are available in this environment, so we use web-mercator slippy tiles
+(quadkeys) — the same public hierarchical spatial index used by every
+map tile stack. Same role: equal-area-ish buckets, parent/child
+relations by bit-shift, deterministic from (lon, lat, zoom).
+
+All of this is pure Catalyst arithmetic — no UDFs, fully codegen'd, and
+identically expressible in ANSI SQL for the DuckDB oracle.
+
+Adaptive resolution (north_rule skew handling): cells whose feature
+count exceeds a threshold are re-assigned at zoom+1, repeatedly until
+max_zoom — dense urban cores split into smaller cells so per-cell
+payloads stay bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tile_xy(lon, lat, zoom: int):
+    """Slippy tile x/y columns (public OSM wiki formula)."""
+    n = F.lit(float(2 ** zoom))
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    lat_r = F.radians(lat)
+    y = F.floor(
+        (1.0 - F.asinh(F.tan(lat_r)) / float(3.141592653589793)) / 2.0 * n
+    ).cast("long")
+    # clamp at the poles
+    x = F.greatest(F.lit(0), F.least(x, (n - 1).cast("long")))
+    y = F.greatest(F.lit(0), F.least(y, (n - 1).cast("long")))
+    return x, y
+
+
+def with_tile(df: DataFrame, lon_col: str, lat_col: str, zoom: int) -> DataFrame:
+    x, y = tile_xy(F.col(lon_col), F.col(lat_col), zoom)
+    return df.withColumn("tile_z", F.lit(zoom)) \
+             .withColumn("tile_x", x).withColumn("tile_y", y)
+
+
+def quadkey(df: DataFrame) -> DataFrame:
+    """Bing-style quadkey string from (tile_z, tile_x, tile_y) — gives a
+    prefix-ordered cell id so parent = prefix (public algorithm)."""
+    expr = """
+      concat_ws('',
+        transform(sequence(cast(tile_z as int), 1, -1), i ->
+          cast(((tile_x >> (i - 1)) & 1) + 2 * ((tile_y >> (i - 1)) & 1)
+               as string)))
+    """
+    return df.withColumn("quadkey", F.expr(expr))
+
+
+def adaptive_cells(df: DataFrame, lon_col: str, lat_col: str,
+                   base_zoom: int = 16, threshold: int = 512,
+                   max_zoom: int = 20) -> DataFrame:
+    """Assign every row a cell at base_zoom, then repeatedly push rows in
+    over-threshold cells one zoom deeper. Bounded loop (max_zoom -
+    base_zoom rounds), each round one aggregation + join — the
+    'adaptive H3 resolution splitting' of the north_star expressed
+    relationally."""
+    out = with_tile(df, lon_col, lat_col, base_zoom)
+    z = base_zoom
+    done = None
+    while z < max_zoom:
+        counts = out.groupBy("tile_z", "tile_x", "tile_y") \
+                    .agg(F.count(F.lit(1)).alias("_n"))
+        out = out.join(counts, ["tile_z", "tile_x", "tile_y"], "left")
+        small = out.where(F.col("_n") <= threshold).drop("_n")
+        big = out.where(F.col("_n") > threshold).drop("_n")
+        done = small if done is None else done.unionByName(small)
+        z += 1
+        big = big.drop("tile_z", "tile_x", "tile_y")
+        out = with_tile(big, lon_col, lat_col, z)
+    return done.unionByName(out) if done is not None else out

@@ -1,0 +1,252 @@
+"""T1/T2/T4 network simplification passes.
+
+Reference: transform/mod.rs:22-29 applies [CollapseShortRoads,
+CollapseDegenerateIntersections, CollapseShortRoads] to clipped areas;
+RemoveDisconnectedRoads (transform/remove_disconnected.rs) keeps the
+largest connected component.
+
+Spark shape (SURVEY.md §2.10): these rewrites have sequential
+dependencies between nearby collapses, so each document's graph is
+rewritten locally inside ONE applyInPandas group — a doc is small by
+construction (dense docs are split by cell upstream), and documents are
+the unit of parallelism. A pure-SQL iterate-to-fixpoint would shuffle
+the whole corpus once per round; the per-doc kernel does the fixpoint
+in-memory in a single shuffle. The kernel is pure Python below
+(unit-testable without Spark).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, LongType, StringType,
+    StructField, StructType,
+)
+
+from ..geom.core import simplify_rdp, polyline_length
+
+
+# ---------------------------------------------------------------------------
+# pure-python per-doc kernel
+# ---------------------------------------------------------------------------
+
+def _components(roads: list[dict]) -> list[set]:
+    """Union-find connected components over intersection ids (A6/G4,
+    remove_disconnected.rs:10-42)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for r in roads:
+        union(r["src_i"], r["dst_i"])
+    groups: dict[int, set] = {}
+    for r in roads:
+        groups.setdefault(find(r["src_i"]), set()).add(r["road_id"])
+    return list(groups.values())
+
+
+def remove_disconnected(roads: list[dict]) -> list[dict]:
+    """T4: keep the largest component by road count; light rail does not
+    seed its own component (remove_disconnected.rs:7-50). Deterministic
+    tie-break by smallest member road_id."""
+    if not roads:
+        return roads
+    seedable = [r for r in roads if r["highway_type"] not in ("light_rail", "rail")]
+    comp_source = seedable if seedable else roads
+    comps = _components(comp_source)
+    best = max(comps, key=lambda c: (len(c), -min(c)))
+    # light-rail roads survive if they touch the kept component's
+    # intersections
+    kept_is = set()
+    by_id = {r["road_id"]: r for r in roads}
+    for rid in best:
+        kept_is.add(by_id[rid]["src_i"])
+        kept_is.add(by_id[rid]["dst_i"])
+    out = []
+    for r in roads:
+        if r["road_id"] in best:
+            out.append(r)
+        elif r["highway_type"] in ("light_rail", "rail") and (
+                r["src_i"] in kept_is or r["dst_i"] in kept_is):
+            out.append(r)
+    return out
+
+
+def collapse_short_roads(roads: list[dict]) -> list[dict]:
+    """T1 (operations/collapse_short_road.rs:12-161): for each candidate
+    (tagged junction=intersection, or trim-annihilated), merge its dst
+    intersection into its src, rewrite endpoints, drop new self-loops."""
+    merged: dict[int, int] = {}
+
+    def resolve(i):
+        while i in merged:
+            i = merged[i]
+        return i
+
+    out = []
+    candidates = sorted(
+        (r for r in roads if r.get("internal_junction_road") or r.get("too_short")),
+        key=lambda r: r["road_id"],
+    )
+    cand_ids = {r["road_id"] for r in candidates}
+    for r in candidates:
+        src, dst = resolve(r["src_i"]), resolve(r["dst_i"])
+        if src == dst:
+            continue  # already merged via another candidate
+        merged[dst] = src
+    for r in roads:
+        if r["road_id"] in cand_ids:
+            continue
+        src, dst = resolve(r["src_i"]), resolve(r["dst_i"])
+        if src == dst:
+            continue  # new self-loop → drop (collapse_short_road.rs:107)
+        r = dict(r, src_i=src, dst_i=dst)
+        out.append(r)
+    return out
+
+
+def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
+    """T2 (operations/collapse_intersection.rs:11-100): splice the two
+    roads of a 2-road intersection into one when lane specs, name,
+    highway type and layer all match and they aren't opposing oneways.
+    Keeps the first road's id; geometry concatenated + RDP ε=1.0."""
+    by_id = {r["road_id"]: r for r in roads}
+    incident: dict[int, list[int]] = {}
+    for r in roads:
+        incident.setdefault(r["src_i"], []).append(r["road_id"])
+        incident.setdefault(r["dst_i"], []).append(r["road_id"])
+
+    for i_id in sorted(incident):
+        rids = incident.get(i_id, [])
+        rids = [rid for rid in rids if rid in by_id]
+        if len(rids) != 2 or rids[0] == rids[1]:
+            continue
+        a, b = by_id[rids[0]], by_id[rids[1]]
+        if (a["lane_specs_json"] != b["lane_specs_json"]
+                or a.get("name") != b.get("name")
+                or a["highway_type"] != b["highway_type"]
+                or a.get("layer", 0) != b.get("layer", 0)):
+            continue
+        # opposing oneways can't splice (collapse_intersection.rs:24-32:
+        # endpoint multiset must have 3 distinct, i.e. not a loop pair)
+        ends = {a["src_i"], a["dst_i"], b["src_i"], b["dst_i"]}
+        if len(ends) != 3:
+            continue
+        ow_a, ow_b = a.get("oneway_dir", ""), b.get("oneway_dir", "")
+        # orient: a must END at i, b must START at i (flip as needed);
+        # flipping a oneway road reverses its traffic — only allowed for
+        # bidirectional roads, else require compatible orientation.
+        xy_a = np.asarray(a["xy"], dtype=float).reshape(-1, 2)
+        xy_b = np.asarray(b["xy"], dtype=float).reshape(-1, 2)
+        if a["dst_i"] != i_id:
+            if ow_a:
+                # oneway pointing out of i on the a side: traffic flow
+                # must continue b→a; swap roles instead of flipping
+                a, b = b, a
+                xy_a, xy_b = xy_b, xy_a
+                if a["dst_i"] != i_id:
+                    continue
+            else:
+                xy_a = xy_a[::-1]
+                a = dict(a, src_i=a["dst_i"], dst_i=a["src_i"])
+        if b["src_i"] != i_id:
+            if ow_b:
+                continue
+            xy_b = xy_b[::-1]
+            b = dict(b, src_i=b["dst_i"], dst_i=b["src_i"])
+        if ow_a != ow_b and not (ow_a == "" or ow_b == ""):
+            continue
+        new_xy = np.vstack([xy_a, xy_b[1:]])
+        new_xy = simplify_rdp(new_xy, rdp_eps)
+        merged = dict(a)
+        merged["dst_i"] = b["dst_i"]
+        merged["xy"] = new_xy.ravel().tolist()
+        merged["osm_way_ids"] = sorted(
+            set(a.get("osm_way_ids", [a["way_id"]]))
+            | set(b.get("osm_way_ids", [b["way_id"]]))
+        )
+        del by_id[b["road_id"]]
+        by_id[a["road_id"]] = merged
+        # update adjacency for future iterations
+        for lst in incident.values():
+            if b["road_id"] in lst:
+                lst[:] = [a["road_id"] if x == b["road_id"] else x for x in lst]
+    return list(by_id.values())
+
+
+def apply_standard_transforms(roads: list[dict]) -> list[dict]:
+    """T4 then the standard list T1, T2, T1 (transform/mod.rs:22-29)."""
+    roads = remove_disconnected(roads)
+    roads = collapse_short_roads(roads)
+    roads = collapse_degenerate(roads)
+    roads = collapse_short_roads(roads)
+    return roads
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring
+# ---------------------------------------------------------------------------
+
+_ROAD_FIELDS = [
+    ("road_id", LongType()), ("way_id", LongType()),
+    ("src_i", LongType()), ("dst_i", LongType()),
+    ("xy", ArrayType(DoubleType())),
+    ("highway_type", StringType()), ("name", StringType()),
+    ("layer", LongType()), ("speed_kph", DoubleType()),
+    ("oneway_dir", StringType()), ("lane_specs_json", StringType()),
+    ("lane_chars", StringType()), ("dir_chars", StringType()),
+    ("total_width", DoubleType()), ("driveable", BooleanType()),
+    ("internal_junction_road", BooleanType()),
+    ("too_short", BooleanType()),
+    ("osm_way_ids", ArrayType(LongType())),
+    ("lon0", DoubleType()), ("lat0", DoubleType()),
+]
+
+TRANSFORM_SCHEMA = StructType(
+    [StructField("doc_id", StringType())]
+    + [StructField(n, t) for n, t in _ROAD_FIELDS]
+)
+
+
+def _transform_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id = pdf["doc_id"].iloc[0]
+    roads = pdf.to_dict("records")
+    for r in roads:
+        r["xy"] = list(r["xy"])
+        if r.get("osm_way_ids") is None:
+            r["osm_way_ids"] = [r["way_id"]]
+        else:
+            r["osm_way_ids"] = list(r["osm_way_ids"])
+    roads = apply_standard_transforms(roads)
+    cols = [n for n, _ in _ROAD_FIELDS]
+    data = {"doc_id": [doc_id] * len(roads)}
+    for c in cols:
+        data[c] = [r.get(c) for r in roads]
+    return pd.DataFrame(data)
+
+
+def run_transforms(roads: DataFrame) -> DataFrame:
+    """Per-doc T4+T1+T2+T1. Input needs the columns in _ROAD_FIELDS."""
+    cols = ["doc_id"] + [n for n, _ in _ROAD_FIELDS]
+    src = roads
+    if "osm_way_ids" not in src.columns:
+        src = src.withColumn("osm_way_ids", F.array("way_id"))
+    if "too_short" not in src.columns:
+        src = src.withColumn("too_short", F.lit(False))
+    return src.select(*cols).groupBy("doc_id").applyInPandas(
+        _transform_kernel, schema=TRANSFORM_SCHEMA
+    )

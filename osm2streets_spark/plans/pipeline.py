@@ -1,0 +1,138 @@
+"""The end-to-end street-network pipeline (SURVEY.md §3.1 re-expressed).
+
+documents ──parse──▶ nodes/ways/relations
+  ─F2 filter─▶ ways ─K1 lanes─▶ way attrs
+  ─J1 point agg─▶ intersections(v0)   ─W1 window split─▶ roads(v0)
+  ─T6 pass 1 (trims only)─▶ too_short flags
+  ─T4/T1/T2/T1 per-doc rewrite─▶ roads(v1)
+  ─T6 pass 2─▶ trims + polygons + movements/kind
+  ─K9 join-back─▶ roads(v2, trimmed center lines)
+  ─S5 render─▶ features + tile assignment + span passthrough
+
+The reference recomputes intersection geometry eagerly after every
+mutation (lib.rs:99-121); we batch per pass — the final per-intersection
+state is what snapshot parity checks (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import MapConfig, DEFAULT_CONFIG
+from ..sources.osm_xml import parse_documents, split_entities, doc_bounds
+from ..operators.extract import (
+    filter_ways, node_features, restriction_relations, with_parsed_road_tags,
+)
+from ..operators.split_ways import build_network_v0
+from ..operators.lanes_udf import with_lanes
+from ..operators.restrictions import (
+    resolve_restrictions, restrictions_by_intersection,
+)
+from ..operators.geometry_update import (
+    with_projected_geometry, build_road_ends, run_t6, apply_trims,
+    finalize_intersections,
+)
+from ..operators.transforms import run_transforms
+from ..operators.render import render_roads, render_intersections
+from ..operators.tiles import with_tile, quadkey
+
+
+def load_documents(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{fixture_dir}/documents.parquet")
+
+
+def parse_stage(docs: DataFrame):
+    parsed = parse_documents(docs)
+    nodes, ways, relations = split_entities(parsed)
+    return nodes, ways, relations
+
+
+def graph_stage(nodes: DataFrame, ways: DataFrame, cfg: MapConfig = DEFAULT_CONFIG):
+    """F2 + K1 + J1 + W1: filtered ways with lanes, split into the v0
+    road/intersection graph."""
+    fways = filter_ways(ways)
+    fways = with_parsed_road_tags(fways)
+    fways = with_lanes(fways, cfg.driving_side)
+    roads_v0, ints_v0, flagged = build_network_v0(fways, nodes)
+    way_attrs = fways.select(
+        "doc_id", "way_id", "tags_json", "highway_type", "name", "layer",
+        "speed_kph", "oneway", "internal_junction_road", "lane_specs_json",
+        "lane_chars", "dir_chars", "total_width", "driveable", "oneway_dir",
+    )
+    roads = roads_v0.join(way_attrs, ["doc_id", "way_id"])
+    return roads, ints_v0, flagged
+
+
+def build_street_network(spark: SparkSession, docs: DataFrame,
+                         cfg: MapConfig = DEFAULT_CONFIG,
+                         transforms: bool = True,
+                         two_pass_t6: bool = True) -> dict:
+    """Returns a dict of DataFrames: roads, intersections, road_features,
+    intersection_features, features (union), output_documents (span
+    passthrough)."""
+    nodes, ways, relations = parse_stage(docs)
+    roads, ints_v0, _ = graph_stage(nodes, ways, cfg)
+
+    anchors = doc_bounds(nodes)
+    roads = with_projected_geometry(roads, anchors)
+    roads = roads.withColumn("osm_way_ids", F.array("way_id")) \
+                 .withColumn("too_short", F.lit(False))
+
+    feats = node_features(nodes)
+    restr = restriction_relations(relations)
+    resolved = resolve_restrictions(restr, nodes, roads)
+    restr_by_i = restrictions_by_intersection(resolved)
+
+    if transforms:
+        if two_pass_t6:
+            # pass 1: trims only, to find trim-annihilated roads
+            # (update_geometry.rs:58-63 → CollapseShortRoads candidates)
+            ends1 = build_road_ends(roads, None, cfg.driving_side)
+            trims1 = run_t6(ends1)
+            roads = apply_trims(roads, trims1).drop(
+                "trim_start", "trim_end", "center_xy", "trimmed_length")
+        roads = run_transforms(roads)
+        # transforms rewrote endpoints/geometry; re-derive driveability
+        # columns preserved by the kernel schema
+    ends = build_road_ends(roads, restr_by_i, cfg.driving_side)
+    trims = run_t6(ends)
+    roads_final = apply_trims(roads, trims)
+
+    # intersections surviving the transforms = endpoints of final roads
+    live_is = roads_final.select(
+        "doc_id", F.explode(F.array("src_i", "dst_i")).alias("i_id")
+    ).distinct()
+    ints = ints_v0.join(live_is, ["doc_id", "i_id"], "left_semi")
+    ints = ints.join(
+        anchors.select("doc_id", F.col("min_lon").alias("lon0"),
+                       F.col("min_lat").alias("lat0")),
+        "doc_id",
+    )
+    ints_final = finalize_intersections(ints, trims, feats)
+
+    road_feats = render_roads(roads_final)
+    int_feats = render_intersections(ints_final)
+    features = road_feats.unionByName(int_feats)
+    features = quadkey(with_tile(features, "c_lon", "c_lat", cfg.cell_zoom))
+
+    # span passthrough (north_rule per-row invariant): the output document
+    # table carries the input span sequence untouched
+    out_docs = docs.select("doc_id", "spans")
+
+    return {
+        "nodes": nodes, "ways": ways, "relations": relations,
+        "roads": roads_final, "intersections": ints_final,
+        "features": features, "output_documents": out_docs,
+    }
+
+
+def flagship_query(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    """The headline query: full network build, returning the rendered
+    feature table (one row per road/intersection polygon with tile
+    assignment)."""
+    docs = load_documents(spark, fixture_dir)
+    net = build_street_network(spark, docs)
+    return net["features"].select(
+        "doc_id", "feature_type", "feature_id", "feature_json",
+        "tile_z", "tile_x", "tile_y", "quadkey",
+    )
