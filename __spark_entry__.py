@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship street-network build on sf0.001 fixtures.
+queries()     — one entry per implemented operator family (SURVEY.md §2
+                + training-data-pipeline additions); see
+                osm2streets_spark/plans/registry.py.
+oracle_sql()  — DuckDB twins. Street-network oracles read the fixture
+                generator's ground-truth parquet (absolute paths); the
+                dedup/text/similarity/events oracles use the
+                pre-registered driver views.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm2streets_spark.plans import registry  # noqa: E402
+from osm2streets_spark.sources.fixtures import ensure_fixtures  # noqa: E402
+from osm2streets_spark.plans.pipeline import flagship_query  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full street-network build (parse → split → lanes →
+    trim geometry → transforms → render → tiles) on the sf0.001
+    interleaved-documents fixtures."""
+    fix = ensure_fixtures("sf0.001")
+    return flagship_query(spark, fix)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

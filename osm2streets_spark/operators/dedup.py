@@ -1,0 +1,308 @@
+"""Deduplication suite over the documents table.
+
+Training-data-pipeline operators (build brief): exact, n-gram Jaccard,
+MinHash+LSH, SimHash. Designed for 100 TB:
+
+* exact: one hash aggregation on md5(text) — map-side partial agg.
+* n-gram Jaccard: shingle explode → self-join on shingle → pair counts.
+  Quadratic in docs-per-shingle; at scale you run it only as the
+  verifier behind LSH candidates (dedup_minhash does exactly that).
+* MinHash+LSH: signatures in one pandas UDF pass (k permutations over
+  word-shingle hashes), banding → candidate pairs via equi-join on
+  (band_idx, band_hash) — the classic shuffle-friendly LSH join; then
+  exact-Jaccard verification of candidates only.
+* SimHash: 64-bit signature per doc; banded equi-join on 16-bit chunks
+  finds all pairs within Hamming distance 3 (pigeonhole over 4 bands).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# shared shingle hashing: base-31 polynomial over characters mod 2^31-1,
+# identical in Spark SQL and DuckDB SQL (see text_analysis.fingerprints)
+POLY_MOD = 2147483647
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts (hash-groupBy)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("doc_id").alias("representative"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def exact_duplicates_oracle_sql(doc_table: str) -> str:
+    return f"""
+      select md5(text) as text_md5, count(*) as n_dups,
+             min(doc_id) as representative
+      from {doc_table} group by 1 having count(*) >= 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# word shingles + exact Jaccard (the verifier)
+# ---------------------------------------------------------------------------
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct rows — per-word base-31 char-code hash
+    folded across the n-gram; identical arithmetic on the DuckDB side
+    (shingles_oracle_cte), so the oracle matches bit-for-bit. Empty
+    words hash to 0 on both sides."""
+    word_hash = (
+        f"case when length(w) = 0 then cast(0 as bigint) else "
+        f"aggregate(transform(sequence(1, length(w)), q -> "
+        f"ascii(substring(w, q, 1))), cast(0 as bigint), "
+        f"(a, c) -> (a * 31 + c) % {POLY_MOD}) end"
+    )
+    expr = f"""
+      array_distinct(transform(
+        sequence(1, greatest(size(split(text, ' ')) - {n} + 1, 1)), i ->
+          aggregate(
+            transform(
+              sequence(i, least(i + {n} - 1, size(split(text, ' ')))),
+              j -> element_at(split(text, ' '), j)),
+            cast(0 as bigint),
+            (acc, w) -> (acc * 31 + {word_hash}) % {POLY_MOD})))
+    """
+    return docs.select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+
+
+def shingles_oracle_cte(doc_table: str, n: int = 3) -> str:
+    """DuckDB CTE producing the identical (doc_id, shingle) rows."""
+    word_hash = (
+        f"case when length(words[j]) = 0 then cast(0 as bigint) else "
+        f"list_reduce([cast(0 as bigint)] || "
+        f"[cast(ascii(substring(words[j], q, 1)) as bigint) "
+        f"for q in generate_series(1, length(words[j]))], "
+        f"(a, c) -> (a * 31 + c) % {POLY_MOD}) end"
+    )
+    return f"""
+      with w as (
+        select doc_id, string_split(text, ' ') as words from {doc_table}
+      ),
+      sh as (
+        select doc_id, unnest(list_distinct([
+          list_reduce(
+            [cast(0 as bigint)] || [{word_hash}
+             for j in generate_series(i, least(i + {n} - 1, len(words)))],
+            (acc, h) -> (acc * 31 + h) % {POLY_MOD})
+          for i in generate_series(1, greatest(len(words) - {n} + 1, 1))]))
+          as shingle
+        from w
+      )
+    """
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold (exact, via shingle
+    self-join). At 100 TB this runs only behind an LSH prefilter."""
+    sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs_oracle_sql(doc_table: str, n: int = 3,
+                             threshold: float = 0.5) -> str:
+    return shingles_oracle_cte(doc_table, n) + f"""
+      , sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+      inter as (
+        select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+        from sh a join sh b
+          on a.shingle = b.shingle and a.doc_id < b.doc_id
+        group by 1, 2
+      )
+      select i.doc_a, i.doc_b, i.n_common,
+             round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 4) as jaccard
+      from inter i
+      join sizes sa on sa.doc_id = i.doc_a
+      join sizes sb on sb.doc_id = i.doc_b
+      where round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 4)
+            >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (pandas-UDF signatures, equi-join banding)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 32
+LSH_BANDS = 16            # r = 2 rows/band → high recall at τ≥0.5
+MERSENNE = (1 << 61) - 1
+
+# deterministic permutation parameters (seeded, stable across runs)
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, MERSENNE, size=MINHASH_K, dtype=np.int64)
+_B = _rng.randint(0, MERSENNE, size=MINHASH_K, dtype=np.int64)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _minhash_sig(shingles: pd.Series) -> pd.Series:
+    out = []
+    for sh in shingles:
+        h = np.asarray(sh, dtype=np.int64)
+        if len(h) == 0:
+            out.append([0] * MINHASH_K)
+            continue
+        # (a*h + b) mod p for each permutation; Python ints avoid overflow
+        sig = [
+            int(min((int(a) * int(v) + int(b)) % MERSENNE for v in h))
+            for a, b in zip(_A, _B)
+        ]
+        out.append(sig)
+    return pd.Series(out)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    With k=32, b=16, r=2: P(candidate) = 1-(1-s²)^16 → ≥0.99 at s=0.5,
+    so verified output equals the exact threshold pairs (the oracle) with
+    negligible false-negative probability."""
+    sh = word_shingles(docs, n)
+    sh_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    sigs = sh_sets.select("doc_id", _minhash_sig("sh").alias("sig"))
+    r = MINHASH_K // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+                   f"hash(slice(sig, b * {r} + 1, {r})))")
+        ).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_oracle_sql(doc_table: str, n: int = 3,
+                           threshold: float = 0.5) -> str:
+    """Oracle = exact threshold pairs (LSH recall ≈ 1 by parameter
+    choice; verification removes all false positives)."""
+    return jaccard_pairs_oracle_sql(doc_table, n, threshold).replace(
+        "select i.doc_a, i.doc_b, i.n_common,",
+        "select i.doc_a, i.doc_b,", 1)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(LongType())
+def _simhash64(shingles: pd.Series) -> pd.Series:
+    out = []
+    for sh in shingles:
+        if sh is None or len(sh) == 0:
+            out.append(0)
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for v in sh:
+            # spread the 31-bit shingle hash to 64 bits (splitmix-style,
+            # public mixing constants)
+            x = (int(v) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+            x ^= x >> 31
+            x = (x * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+            x ^= x >> 27
+            bits = np.array([(x >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += bits * 2 - 1
+        h = 0
+        for i in range(64):
+            if acc[i] > 0:
+                h |= (1 << i)
+        # store as signed 64-bit
+        if h >= (1 << 63):
+            h -= (1 << 64)
+        out.append(h)
+    return pd.Series(out)
+
+
+def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, found
+    via 4×16-bit band equi-joins (pigeonhole: any pair within distance 3
+    agrees on ≥1 of 4 bands)."""
+    sh = word_shingles(docs, n)
+    sh_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    sigs = sh_sets.select("doc_id", _simhash64("shs").alias("sim"))
+    bands = sigs.select(
+        "doc_id", "sim",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), b -> "
+            "struct(b as band_idx, "
+            "shiftright(sim, b * 16) & 65535 as band_val))"
+        )).alias("band"),
+    ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.sim").alias("sim_a"), F.col("y.sim").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming) \
+               .where(F.col("hamming") <= max_hamming) \
+               .select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+The documents table's ``kind='media'`` spans carry media refs
+(tile://z/x/y.pbf, geojson://doc/layer). This module provides the
+Spark-side plumbing a multimodal training pipeline needs — schema,
+partitioning, Arrow batch shape — with the actual decoders STUBBED
+(image/audio libs are not in this container; see decode_media).
+
+Everything upstream/downstream of the stub is real and tested:
+media-span extraction, ref parsing, deterministic fake feature
+extraction (so downstream joins/aggregations exercise real columns),
+and frame-sample batching via mapInPandas.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType,
+)
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """Explode kind='media' spans with parsed ref metadata — pure
+    Catalyst (regexp on the ref)."""
+    s = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).where(F.col("span.kind") == "media")
+    ref = F.col("span.media_ref")
+    return s.select(
+        "doc_id", "span_idx", ref.alias("media_ref"),
+        F.regexp_extract(ref, r"^(\w+)://", 1).alias("media_scheme"),
+        F.regexp_extract(ref, r"^tile://(\d+)/(\d+)/(\d+)", 1)
+         .try_cast("int").alias("ref_z"),
+        F.regexp_extract(ref, r"^tile://(\d+)/(\d+)/(\d+)", 2)
+         .try_cast("int").alias("ref_x"),
+        F.regexp_extract(ref, r"^tile://(\d+)/(\d+)/(\d+)", 3)
+         .try_cast("int").alias("ref_y"),
+    )
+
+
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: a real deployment would decode bytes with
+    PIL/ffmpeg here (inside this mapInPandas, one Arrow batch at a
+    time). This container has no codec libs, so we emit a deterministic
+    fake: dimensions/frame-count/feature derived from the ref hash —
+    keeping schema, batching and downstream columns real."""
+    for pdf in batches:
+        rows = []
+        for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+            h = np.frombuffer(
+                ref.encode("utf-8")[:8].ljust(8, b"\0"), dtype=np.int64
+            )[0]
+            rng = np.random.RandomState(abs(int(h)) % (2**31))
+            rows.append((
+                doc_id, ref,
+                int(256 + (abs(int(h)) % 4) * 128),
+                int(256 + (abs(int(h) >> 2) % 4) * 128),
+                int(1 + abs(int(h)) % 16),
+                rng.randn(16).astype(np.float32).tolist(),
+            ))
+        yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract media refs (stubbed — see _decode_batch).
+    Repartitioned by doc so decode work spreads evenly regardless of
+    how many media spans a single document carries."""
+    return media.select("doc_id", "media_ref") \
+        .repartition("doc_id") \
+        .mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one row per sampled frame index — pure Catalyst
+    sequence explode (video analogue of step_along W4)."""
+    return decoded.select(
+        "doc_id", "media_ref", "n_frames",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+            F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+* brute-force cosine top-k — the correctness baseline, expressed with
+  higher-order array functions (zip_with + aggregate → JVM-side, no
+  Python) and a rank window.
+* LSH-bucketed variant — random-hyperplane signs bucket the vectors; at
+  scale candidates come from one equi-join on the bucket key instead of
+  the full cross product.
+* cosine near-duplicate pairs — embedding analogue of dedup.
+
+Float determinism for the DuckDB oracle: both engines fold the arrays
+sequentially in index order in float64, so dot products agree bitwise;
+scores are rounded to 6 decimals before ranking/thresholding anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    ))
+
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """All-pairs cosine ≥ threshold. O(n²) — the verifier/baseline; the
+    LSH variant prunes the join at scale."""
+    v = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) \
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_oracle_sql(emb_table: str, threshold: float = 0.9) -> str:
+    dot = ("list_reduce([0.0] || [cast(a.embedding[i] as double) * "
+           "cast(b.embedding[i] as double) for i in generate_series(1, "
+           f"{DIM})], (x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce([0.0] || [cast({t}.embedding[i] as double) * "
+           "cast({t}.embedding[i] as double) for i in generate_series(1, "
+           f"{DIM})], (x, y) -> x + y))")
+    return f"""
+      select a.vec_id as vec_a, b.vec_id as vec_b,
+             round({dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}), 6)
+                 as cosine
+      from {emb_table} a join {emb_table} b on a.vec_id < b.vec_id
+      where round({dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}), 6)
+            >= {threshold}
+    """
+
+
+def ann_topk(emb: DataFrame, k: int = 5, n_queries: int = 32) -> DataFrame:
+    """Brute-force cosine top-k of the first n_queries vectors against
+    the corpus. Scores rounded to 6 dp before ranking; ties broken by
+    neighbor id — fully deterministic across engines."""
+    from pyspark.sql import Window
+
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"))
+    v = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("n_emb"))
+    cos = _dot(F.col("q_emb"), F.col("n_emb")) \
+        / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+    scored = (
+        F.broadcast(q).join(v, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ann_topk_oracle_sql(emb_table: str, k: int = 5, n_queries: int = 32) -> str:
+    dot = ("list_reduce([0.0] || [cast(q.embedding[i] as double) * "
+           "cast(v.embedding[i] as double) for i in generate_series(1, "
+           f"{DIM})], (x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce([0.0] || [cast({t}.embedding[i] as double) * "
+           "cast({t}.embedding[i] as double) for i in generate_series(1, "
+           f"{DIM})], (x, y) -> x + y))")
+    return f"""
+      with scored as (
+        select q.vec_id as query_id, v.vec_id as neighbor_id,
+               round({dot} / ({nrm.format(t='q')} * {nrm.format(t='v')}), 6)
+                   as cosine
+        from {emb_table} q join {emb_table} v on q.vec_id != v.vec_id
+        where q.vec_id < {n_queries}
+      ),
+      ranked as (
+        select *, row_number() over (partition by query_id
+                   order by cosine desc, neighbor_id asc) as rank
+        from scored
+      )
+      select query_id, rank, neighbor_id, cosine from ranked
+      where rank <= {k}
+    """
+
+
+# deterministic random hyperplanes for the LSH variant
+_rng = np.random.RandomState(7)
+_PLANES = _rng.randn(8, DIM)
+
+
+@F.pandas_udf(IntegerType())
+def _lsh_bucket(embedding: pd.Series) -> pd.Series:
+    mats = np.stack([np.asarray(e, dtype=np.float64) for e in embedding])
+    signs = (mats @ _PLANES.T) > 0
+    buckets = (signs * (1 << np.arange(8))).sum(axis=1)
+    return pd.Series(buckets.astype(np.int32))
+
+
+def ann_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector — the scale path:
+    candidates = equi-join on bucket, then exact re-rank within bucket."""
+    return emb.select("vec_id", _lsh_bucket("embedding").alias("bucket"))
+
+
+def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 32) -> DataFrame:
+    """Bucketed ANN: exact cosine, but only within matching LSH buckets
+    (plus re-rank). Approximate — recall measured in tests."""
+    from pyspark.sql import Window
+
+    b = ann_lsh_buckets(emb)
+    e = emb.join(b, "vec_id")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("bucket"))
+    v = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("n_emb"), F.col("bucket"))
+    cos = _dot(F.col("q_emb"), F.col("n_emb")) \
+        / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+    scored = (
+        q.join(v, ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

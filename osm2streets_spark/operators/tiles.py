@@ -26,8 +26,11 @@ def tile_xy(lon, lat, zoom: int):
     n = F.lit(float(2 ** zoom))
     x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
     lat_r = F.radians(lat)
+    # ln(tan + sec) form of asinh(tan(lat)) — written identically in the
+    # DuckDB oracle so the floating-point expression matches bitwise
     y = F.floor(
-        (1.0 - F.asinh(F.tan(lat_r)) / float(3.141592653589793)) / 2.0 * n
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r))
+         / float(3.141592653589793)) / 2.0 * n
     ).cast("long")
     # clamp at the poles
     x = F.greatest(F.lit(0), F.least(x, (n - 1).cast("long")))

@@ -1,0 +1,512 @@
+"""Query registry: every implemented operator family exposed as a named
+query with (where SQL-expressible) a DuckDB oracle twin.
+
+Street-network queries run over the synthesized interleaved-documents
+fixtures (sources/fixtures.py — the BASELINE.json input_hint shape; the
+driver's own `documents` table is a plain text-docs table used by the
+dedup/text/similarity queries). Their oracles read the generator's
+ground-truth parquet (gt_nodes/gt_ways/gt_relations) — written by the
+same deterministic generator but *independent of the Spark pipeline*:
+the oracle re-derives intersections/segments/tiles in pure SQL, so the
+whole parse→split→count path is cross-checked engine-vs-engine.
+
+Column names are aliased identically on both sides (driver hashes
+values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import HIGHWAY_WHITELIST, RAILWAY_WHITELIST
+from ..sources.fixtures import fixture_dir_for, ensure_fixtures
+from ..sources.osm_xml import parse_documents, split_entities
+from ..operators.extract import (
+    filter_ways, with_parsed_road_tags, restriction_relations,
+)
+from ..operators.split_ways import (
+    way_points, flag_intersections, split_to_roads, build_network_v0,
+)
+from ..operators.lanes_udf import with_lanes
+from ..operators import dedup, similarity, text_analysis, multimodal
+from ..operators.tiles import tile_xy
+from .pipeline import flagship_query, load_documents, build_street_network
+
+Q = dict[str, Callable[[SparkSession, str], DataFrame]]
+
+# the driver runs oracle comparisons at sf0.01
+ORACLE_SF = "sf0.01"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{fixture_dir_for(sf_dir)}/documents.parquet")
+
+
+def _parsed(spark, sf_dir):
+    return split_entities(parse_documents(_docs(spark, sf_dir)))
+
+
+# --- oracle SQL building blocks (DuckDB dialect) --------------------------
+
+def _whitelist_sql(w: str = "w") -> str:
+    hw = ", ".join(f"'{h}'" for h in HIGHWAY_WHITELIST)
+    rw = ", ".join(f"'{r}'" for r in RAILWAY_WHITELIST)
+    return f"""(
+        (json_extract_string({w}.tags_json, '$.highway') in ({hw})
+         or (json_extract_string({w}.tags_json, '$.railway') in ({rw})
+             and json_extract_string({w}.tags_json, '$.highway') is null)
+         or (json_extract_string({w}.tags_json, '$.highway') = 'construction'
+             and json_extract_string({w}.tags_json, '$.construction')
+                 is not null))
+        and coalesce(json_extract_string({w}.tags_json, '$.area'), 'no')
+            != 'yes'
+        and coalesce(json_extract_string({w}.tags_json, '$.footway'), '')
+            != 'sidewalk'
+        and len({w}.node_ids) >= 2
+    )"""
+
+
+def _graph_cte(fix: str) -> str:
+    """Shared CTE: filtered way points with intersection flags and
+    segment assignment — the SQL re-derivation of J1+W1."""
+    return f"""
+      with fways as (
+        select * from read_parquet('{fix}/gt_ways.parquet') w
+        where {_whitelist_sql('w')}
+      ),
+      pts as (
+        select w.doc_id, w.way_id, unnest(w.node_ids) as node_id,
+               generate_subscripts(w.node_ids, 1) as pos,
+               len(w.node_ids) as n_pts
+        from fways w
+      ),
+      keyed as (
+        select p.*, n.lon, n.lat,
+               cast(round(n.lon * 1e7) as bigint) as qx,
+               cast(round(n.lat * 1e7) as bigint) as qy,
+               (p.pos = 1 or p.pos = p.n_pts) as is_endpoint
+        from pts p
+        join read_parquet('{fix}/gt_nodes.parquet') n
+          on p.doc_id = n.doc_id and p.node_id = n.node_id
+      ),
+      counted as (
+        select *,
+               count(*) over (partition by doc_id, qx, qy) as n_uses,
+               max(is_endpoint::int) over (partition by doc_id, qx, qy)
+                   as any_ep
+        from keyed
+      ),
+      flagged as (
+        select *, (n_uses >= 2 or any_ep = 1) as is_int from counted
+      ),
+      wseg as (
+        select *,
+               sum(is_int::int) over (partition by doc_id, way_id
+                   order by pos rows between unbounded preceding and
+                   current row) as c_incl,
+               sum(is_int::int) over (partition by doc_id, way_id) - 1
+                   as n_segs
+        from flagged
+      ),
+      segpts as (
+        select doc_id, way_id, pos, qx, qy, c_incl - 1 as seg_idx
+        from wseg where n_segs >= 1 and c_incl - 1 < n_segs
+        union all
+        select doc_id, way_id, pos, qx, qy, c_incl - 2 as seg_idx
+        from wseg where n_segs >= 1 and is_int and c_incl >= 2
+      ),
+      segs as (
+        select doc_id, way_id, cast(seg_idx as bigint) as seg_idx,
+               count(*) as n_pts,
+               first(qx order by pos) as src_qx,
+               first(qy order by pos) as src_qy,
+               last(qx order by pos) as dst_qx,
+               last(qy order by pos) as dst_qy
+        from segpts group by 1, 2, 3
+      ),
+      roads as (
+        select * from segs
+        where not (src_qx = dst_qx and src_qy = dst_qy)
+      )
+    """
+
+
+# ==========================================================================
+# query + oracle definitions
+# ==========================================================================
+
+def queries() -> Q:
+    q: Q = {}
+
+    # ---- street network: SQL-oracled -----------------------------------
+    def sn_parse_nodes(spark, sf_dir):
+        nodes, _, _ = _parsed(spark, sf_dir)
+        return nodes.select("doc_id", "node_id", "lon", "lat", "tags_json")
+
+    def sn_parse_ways(spark, sf_dir):
+        _, ways, _ = _parsed(spark, sf_dir)
+        return ways.select(
+            "doc_id", "way_id", F.size("node_ids").cast("long").alias("n_nodes"),
+            "tags_json")
+
+    def sn_way_filter(spark, sf_dir):
+        _, ways, _ = _parsed(spark, sf_dir)
+        f = filter_ways(ways)
+        return f.select(
+            "doc_id", "way_id",
+            F.coalesce(F.get_json_object("tags_json", "$['highway']"),
+                       F.lit("")).alias("highway"))
+
+    def sn_intersections(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        flagged = flag_intersections(way_points(filter_ways(ways), nodes))
+        return (
+            flagged.where("is_int")
+            .groupBy("doc_id", "qx", "qy")
+            .agg(F.count(F.lit(1)).alias("n_uses"),
+                 F.max(F.col("is_endpoint").cast("int")).cast("long")
+                  .alias("any_endpoint"))
+        )
+
+    def sn_split_segments(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        roads, _, _ = build_network_v0(filter_ways(ways), nodes)
+        return roads.groupBy("doc_id", "way_id").agg(
+            F.count(F.lit(1)).alias("n_segments"))
+
+    def sn_roads(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        roads, _, _ = build_network_v0(filter_ways(ways), nodes)
+        return roads.select(
+            "doc_id", "way_id", F.col("seg_idx").cast("long").alias("seg_idx"),
+            F.col("n_pts").cast("long").alias("n_pts"),
+            "src_qx", "src_qy", "dst_qx", "dst_qy")
+
+    def sn_intersection_degree(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        roads, _, _ = build_network_v0(filter_ways(ways), nodes)
+        ends = roads.select(
+            "doc_id", F.col("src_qx").alias("qx"), F.col("src_qy").alias("qy")
+        ).unionAll(roads.select(
+            "doc_id", F.col("dst_qx").alias("qx"), F.col("dst_qy").alias("qy")))
+        return ends.groupBy("doc_id", "qx", "qy").agg(
+            F.count(F.lit(1)).alias("degree"))
+
+    def sn_lane_inference(spark, sf_dir):
+        _, ways, _ = _parsed(spark, sf_dir)
+        lw = with_lanes(filter_ways(ways))
+        return lw.select("doc_id", "way_id", "lane_chars", "dir_chars",
+                         F.round("total_width", 4).alias("total_width"))
+
+    def sn_speed_layer(spark, sf_dir):
+        _, ways, _ = _parsed(spark, sf_dir)
+        t = with_parsed_road_tags(filter_ways(ways))
+        return t.select("doc_id", "way_id", "speed_kph",
+                        F.col("layer").cast("long").alias("layer"))
+
+    def sn_tile_assignment(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        flagged = flag_intersections(way_points(filter_ways(ways), nodes))
+        ints = flagged.where("is_int").groupBy("doc_id", "qx", "qy").agg(
+            F.first("lon").alias("lon"), F.first("lat").alias("lat"))
+        x, y = tile_xy(F.col("lon"), F.col("lat"), 16)
+        return ints.select("doc_id", "qx", "qy", x.alias("tile_x"),
+                           y.alias("tile_y"))
+
+    def sn_span_passthrough(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        net = {"output_documents": docs.select("doc_id", "spans")}
+        sig = F.md5(F.array_join(F.transform(
+            "spans",
+            lambda s: F.concat_ws(":", s["kind"],
+                                  s["offset"].cast("string"),
+                                  F.md5(s["text"]), s["media_ref"]),
+        ), "|"))
+        return net["output_documents"].select(
+            "doc_id", sig.alias("span_sig"),
+            F.size("spans").cast("long").alias("n_spans"))
+
+    def sn_restrictions(spark, sf_dir):
+        _, _, relations = _parsed(spark, sf_dir)
+        r = restriction_relations(relations)
+        return r.select("doc_id", "restriction", "restriction_type",
+                        "from_way", "via_node", "to_way")
+
+    def sn_network_summary(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        roads, ints, _ = build_network_v0(filter_ways(ways), nodes)
+        r = roads.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_roads"))
+        i = ints.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_intersections"))
+        return r.join(i, "doc_id")
+
+    q.update({
+        "sn_parse_nodes": sn_parse_nodes,
+        "sn_parse_ways": sn_parse_ways,
+        "sn_way_filter": sn_way_filter,
+        "sn_intersections": sn_intersections,
+        "sn_split_segments": sn_split_segments,
+        "sn_roads": sn_roads,
+        "sn_intersection_degree": sn_intersection_degree,
+        "sn_lane_inference": sn_lane_inference,
+        "sn_speed_layer": sn_speed_layer,
+        "sn_tile_assignment": sn_tile_assignment,
+        "sn_span_passthrough": sn_span_passthrough,
+        "sn_restrictions": sn_restrictions,
+        "sn_network_summary": sn_network_summary,
+    })
+
+    # ---- street network: geometry stages (rows-only checks) ------------
+    def sn_geojson_features(spark, sf_dir):
+        return flagship_query(spark, fixture_dir_for(sf_dir))
+
+    def sn_movements(spark, sf_dir):
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs)
+        i = net["intersections"]
+        return i.select("doc_id", "qx", "qy", "kind", "control",
+                        "movements_json")
+
+    def sn_transformed_roads(spark, sf_dir):
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs)
+        return net["roads"].select(
+            "doc_id", "way_id", "osm_way_ids",
+            F.round("trimmed_length", 2).alias("trimmed_length"),
+            "lane_chars")
+
+    q.update({
+        "sn_geojson_features": sn_geojson_features,
+        "sn_movements": sn_movements,
+        "sn_transformed_roads": sn_transformed_roads,
+    })
+
+    # ---- training-data ops over the driver's tables --------------------
+    def _driver_docs(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    q.update({
+        "dd_exact": lambda s, d: dedup.exact_duplicates(_driver_docs(s, d)),
+        "dd_jaccard": lambda s, d: dedup.jaccard_pairs(_driver_docs(s, d)),
+        "dd_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_driver_docs(s, d)),
+        "dd_simhash": lambda s, d: dedup.simhash_pairs(_driver_docs(s, d)),
+        "ta_langid": lambda s, d: text_analysis.lang_id(_driver_docs(s, d)),
+        "ta_quality": lambda s, d: text_analysis.quality_score(_driver_docs(s, d)),
+        "ta_tokens": lambda s, d: text_analysis.token_stats(_driver_docs(s, d)),
+        "ta_fingerprint": lambda s, d: text_analysis.fingerprints(_driver_docs(s, d)),
+    })
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+
+    q.update({
+        "sim_cosine_pairs": lambda s, d: similarity.cosine_pairs(_emb(s, d)),
+        "sim_ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
+        "sim_ann_lsh": lambda s, d: similarity.ann_topk_lsh(_emb(s, d)),
+    })
+
+    def ev_window(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 4).alias("total_value"))
+
+    q["ev_window"] = ev_window
+
+    def mm_media_decode(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        media = multimodal.media_spans(docs)
+        dec = multimodal.decode_media(media)
+        return multimodal.frame_sample(dec)
+
+    def mm_media_refs(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return multimodal.media_spans(docs).select(
+            "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+            "media_ref", "media_scheme",
+            F.col("ref_z").cast("long").alias("ref_z"),
+            F.col("ref_x").cast("long").alias("ref_x"),
+            F.col("ref_y").cast("long").alias("ref_y"))
+
+    q["mm_media_decode"] = mm_media_decode
+    q["mm_media_refs"] = mm_media_refs
+
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    fix = ensure_fixtures(ORACLE_SF)
+    g = _graph_cte(fix)
+    o: dict[str, str] = {}
+
+    o["sn_parse_nodes"] = (
+        f"select doc_id, node_id, lon, lat, tags_json "
+        f"from read_parquet('{fix}/gt_nodes.parquet')"
+    )
+    o["sn_parse_ways"] = (
+        f"select doc_id, way_id, cast(len(node_ids) as bigint) as n_nodes, "
+        f"tags_json from read_parquet('{fix}/gt_ways.parquet')"
+    )
+    o["sn_way_filter"] = f"""
+      select doc_id, way_id,
+             coalesce(json_extract_string(tags_json, '$.highway'), '')
+                 as highway
+      from read_parquet('{fix}/gt_ways.parquet') w
+      where {_whitelist_sql('w')}
+    """
+    o["sn_intersections"] = g + """
+      select doc_id, qx, qy, count(*) as n_uses,
+             cast(max(any_ep) as bigint) as any_endpoint
+      from flagged where is_int group by 1, 2, 3
+    """
+    o["sn_split_segments"] = g + """
+      select doc_id, way_id, count(*) as n_segments
+      from roads group by 1, 2
+    """
+    o["sn_roads"] = g + """
+      select doc_id, way_id, seg_idx, n_pts,
+             src_qx, src_qy, dst_qx, dst_qy
+      from roads
+    """
+    o["sn_intersection_degree"] = g + """
+      , ends as (
+        select doc_id, src_qx as qx, src_qy as qy from roads
+        union all
+        select doc_id, dst_qx as qx, dst_qy as qy from roads
+      )
+      select doc_id, qx, qy, count(*) as degree from ends group by 1, 2, 3
+    """
+    o["sn_lane_inference"] = f"""
+      select doc_id, way_id, lane_chars, dir_chars,
+             round(total_width, 4) as total_width
+      from read_parquet('{fix}/gt_ways.parquet') w
+      where {_whitelist_sql('w')}
+    """
+    o["sn_speed_layer"] = f"""
+      select doc_id, way_id,
+             case
+               when regexp_extract(
+                      coalesce(json_extract_string(tags_json,'$.maxspeed'),''),
+                      '^(\\d+(?:\\.\\d+)?)(?:\\s*(mph))?$', 2) = 'mph'
+                 then round(cast(regexp_extract(
+                      json_extract_string(tags_json,'$.maxspeed'),
+                      '^(\\d+(?:\\.\\d+)?)(?:\\s*(mph))?$', 1) as double)
+                      * 1.609344, 3)
+               when regexp_extract(
+                      coalesce(json_extract_string(tags_json,'$.maxspeed'),''),
+                      '^(\\d+(?:\\.\\d+)?)(?:\\s*(mph))?$', 1) != ''
+                 then round(cast(regexp_extract(
+                      json_extract_string(tags_json,'$.maxspeed'),
+                      '^(\\d+(?:\\.\\d+)?)(?:\\s*(mph))?$', 1) as double), 3)
+               else null
+             end as speed_kph,
+             cast(coalesce(try_cast(regexp_extract(
+                 coalesce(json_extract_string(tags_json,'$.layer'), ''),
+                 '^(-?\\d+)', 1) as integer), 0) as bigint) as layer
+      from read_parquet('{fix}/gt_ways.parquet') w
+      where {_whitelist_sql('w')}
+    """
+    o["sn_tile_assignment"] = g + """
+      , ints as (
+        select doc_id, qx, qy,
+               first(lon) as lon, first(lat) as lat
+        from flagged where is_int group by 1, 2, 3
+      )
+      select doc_id, qx, qy,
+             greatest(0, least(cast(floor((lon + 180.0) / 360.0 * 65536.0)
+                 as bigint), 65535)) as tile_x,
+             greatest(0, least(cast(floor((1.0 - ln(tan(radians(lat))
+                 + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 65536.0)
+                 as bigint), 65535)) as tile_y
+      from ints
+    """
+    o["sn_span_passthrough"] = f"""
+      select doc_id,
+             md5(array_to_string(
+               [s.kind || ':' || s."offset" || ':' || md5(s.text) || ':'
+                || s.media_ref for s in spans], '|')) as span_sig,
+             cast(len(spans) as bigint) as n_spans
+      from read_parquet('{fix}/documents.parquet')
+    """
+    o["sn_restrictions"] = f"""
+      with m as (
+        select r.doc_id, r.rel_id,
+               json_extract_string(r.tags_json, '$.restriction')
+                   as restriction,
+               unnest(r.members) as mem
+        from read_parquet('{fix}/gt_relations.parquet') r
+        where json_extract_string(r.tags_json, '$.type') = 'restriction'
+          and json_extract_string(r.tags_json, '$.restriction') is not null
+      ),
+      p as (
+        select doc_id, rel_id, restriction,
+               max(case when mem.role = 'from' and mem.type = 'way'
+                   then mem.ref end) as from_way,
+               max(case when mem.role = 'via' and mem.type = 'node'
+                   then mem.ref end) as via_node,
+               max(case when mem.role = 'to' and mem.type = 'way'
+                   then mem.ref end) as to_way
+        from m group by 1, 2, 3
+      )
+      select doc_id, restriction,
+             case when restriction like 'no_%' then 'Ban'
+                  when restriction like 'only_%' then 'Only' end
+                 as restriction_type,
+             from_way, via_node, to_way
+      from p
+      where (restriction like 'no_%' or restriction like 'only_%')
+        and from_way is not null and to_way is not null
+    """
+    o["sn_network_summary"] = g + """
+      , r as (select doc_id, count(*) as n_roads from roads group by 1),
+      i as (
+        select doc_id, count(*) as n_intersections
+        from (select distinct doc_id, qx, qy from flagged where is_int)
+        group by 1
+      )
+      select r.doc_id, r.n_roads, i.n_intersections
+      from r join i on r.doc_id = i.doc_id
+    """
+
+    # ---- training-data ops (driver tables registered as views) ---------
+    o["dd_exact"] = dedup.exact_duplicates_oracle_sql("documents")
+    o["dd_jaccard"] = dedup.jaccard_pairs_oracle_sql("documents")
+    o["dd_minhash_lsh"] = dedup.minhash_lsh_oracle_sql("documents")
+    o["ta_langid"] = text_analysis.lang_id_oracle_sql("documents")
+    o["ta_quality"] = text_analysis.quality_score_oracle_sql("documents")
+    o["ta_tokens"] = text_analysis.token_stats_oracle_sql("documents")
+    o["ta_fingerprint"] = text_analysis.fingerprints_oracle_sql("documents")
+    o["sim_cosine_pairs"] = similarity.cosine_pairs_oracle_sql("embeddings")
+    o["sim_ann_topk"] = similarity.ann_topk_oracle_sql("embeddings")
+    o["ev_window"] = """
+      select date_trunc('hour', ts) as hour, event_type,
+             count(*) as n_events, round(sum(value), 4) as total_value
+      from events group by 1, 2
+    """
+    o["mm_media_refs"] = f"""
+      with s as (
+        select doc_id, unnest(spans) as span,
+               generate_subscripts(spans, 1) - 1 as span_idx
+        from read_parquet('{fix}/documents.parquet')
+      )
+      select doc_id, cast(span_idx as bigint) as span_idx,
+             span.media_ref as media_ref,
+             regexp_extract(span.media_ref, '^(\\w+)://', 1) as media_scheme,
+             cast(nullif(regexp_extract(span.media_ref,
+                 '^tile://(\\d+)/(\\d+)/(\\d+)', 1), '') as bigint) as ref_z,
+             cast(nullif(regexp_extract(span.media_ref,
+                 '^tile://(\\d+)/(\\d+)/(\\d+)', 2), '') as bigint) as ref_x,
+             cast(nullif(regexp_extract(span.media_ref,
+                 '^tile://(\\d+)/(\\d+)/(\\d+)', 3), '') as bigint) as ref_y
+      from s where span.kind = 'media'
+    """
+    # sn_geojson_features / sn_movements / sn_transformed_roads /
+    # dd_simhash / sim_ann_lsh / mm_media_decode: geometry-UDF or
+    # approximate stages — rows-only checks (documented divergence).
+    return o
+
+

@@ -363,6 +363,7 @@ def build_document(doc_idx: int, seed: int = 42):
             "name": tags_sorted.get("name", ""),
             "lane_chars": lanes_to_chars(specs),
             "dir_chars": dirs_to_chars(specs),
+            "total_width": round(sum(s.width for s in specs), 6),
         })
         nds = "".join(f'<nd ref="{r}"/>' for r in nd_refs)
         way_xml.append(f'<way id="{way_id}">{nds}{_tags_xml(tags_sorted)}</way>')
@@ -455,6 +456,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
             "name": pa.array([r["name"] for r in ways], pa.string()),
             "lane_chars": pa.array([r["lane_chars"] for r in ways], pa.string()),
             "dir_chars": pa.array([r["dir_chars"] for r in ways], pa.string()),
+            "total_width": pa.array([r["total_width"] for r in ways],
+                                    pa.float64()),
         }),
         os.path.join(out_dir, "gt_ways.parquet"),
     )
