@@ -207,6 +207,16 @@ def shift_polyline(pl: np.ndarray, offset: float, miter_limit: float = 4.0) -> n
     """Offset polyline. Positive offset shifts to the RIGHT of travel
     direction (matching geom shift_right semantics; shift_left = negative).
     """
+    if len(pl) == 2:
+        # fast path: single segment (the common case after RDP)
+        dx = pl[1, 0] - pl[0, 0]
+        dy = pl[1, 1] - pl[0, 1]
+        ln = math.hypot(dx, dy)
+        if ln == 0:
+            return pl.copy()
+        nx = dy / ln * offset
+        ny = -dx / ln * offset
+        return pl + np.array([nx, ny])
     pl = dedupe_consecutive(pl)
     if len(pl) < 2:
         return pl.copy()
@@ -266,6 +276,14 @@ def first_intersection(pl_a: np.ndarray, pl_b: np.ndarray):
     (reference geometry/general_case.rs:11-128). O(n*m) — polylines here
     are tiny (per-road), exactly like the reference's usage.
     """
+    if len(pl_a) == 2 and len(pl_b) == 2:
+        # fast path: segment × segment (common after RDP)
+        p = _seg_seg_intersection(pl_a[0], pl_a[1], pl_b[0], pl_b[1])
+        if p is None:
+            return None
+        da = math.hypot(p[0] - pl_a[0][0], p[1] - pl_a[0][1])
+        db = math.hypot(p[0] - pl_b[0][0], p[1] - pl_b[0][1])
+        return (p, da, db)
     cl_a = cumulative_lengths(pl_a)
     cl_b = cumulative_lengths(pl_b)
     best = None

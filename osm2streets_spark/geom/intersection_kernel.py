@@ -84,24 +84,29 @@ def compute_trims(roads_cw: list[dict]) -> dict:
         return trims
     # general case (general_case.rs:11-128): for each adjacent clockwise
     # pair, collide the thickened edges; each road's trim = deepest
-    # collision across its pairs, clamped to its length.
+    # collision across its pairs, clamped to its length. Edge polylines
+    # are computed once per road and reused across both adjacent pairs.
+    edges = []
+    lengths = []
+    for r in roads_cw:
+        half = r["width"] / 2.0
+        edges.append((shift_polyline(r["xy"], half),
+                      shift_polyline(r["xy"], -half)))
+        lengths.append(polyline_length(r["xy"]))
     for i in range(n):
-        a = roads_cw[i]
-        b = roads_cw[(i + 1) % n]
-        wa, wb = a["width"] / 2.0, b["width"] / 2.0
+        j = (i + 1) % n
+        a, b = roads_cw[i], roads_cw[j]
         best_a = best_b = 0.0
-        for sa in (wa, -wa):
-            ea = shift_polyline(a["xy"], sa)
-            for sb in (wb, -wb):
-                eb = shift_polyline(b["xy"], sb)
+        for ea in edges[i]:
+            for eb in edges[j]:
                 hit = first_intersection(ea, eb)
                 if hit is None:
                     continue
                 _, da, db = hit
                 best_a = max(best_a, da)
                 best_b = max(best_b, db)
-        for road, best in ((a, best_a), (b, best_b)):
-            length = polyline_length(road["xy"])
+        for road, best, length in ((a, best_a, lengths[i]),
+                                   (b, best_b, lengths[j])):
             trims[road["key"]] = max(trims[road["key"]], min(best, length))
     return trims
 

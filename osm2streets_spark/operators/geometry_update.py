@@ -88,7 +88,7 @@ TRIM_SCHEMA = StructType([
 ])
 
 
-def _t6_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
     doc_id = pdf["doc_id"].iloc[0]
     i_id = int(pdf["i_id"].iloc[0])
     driving_side = pdf["driving_side"].iloc[0]
@@ -119,8 +119,12 @@ def _t6_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         })
     roads_cw = sort_roads_cw(roads)
     trims = compute_trims(roads_cw)
-    ring = intersection_polygon(roads_cw, trims)
-    movements, kind = movements_and_kind(roads_cw, driving_side)
+    if trims_only:
+        ring = None
+        movements, kind = [], None
+    else:
+        ring = intersection_polygon(roads_cw, trims)
+        movements, kind = movements_and_kind(roads_cw, driving_side)
 
     rows = []
     first = True
@@ -128,20 +132,39 @@ def _t6_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rows.append((
             doc_id, i_id, r["road_id"], r["is_src_end"],
             float(trims[r["key"]]),
-            ring.ravel().tolist() if first else None,
+            ring.ravel().tolist() if (first and ring is not None) else None,
             kind if first else None,
-            json.dumps(movements) if first else None,
+            json.dumps(movements) if (first and not trims_only) else None,
         ))
         first = False
-    return pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
+    return rows
 
 
-def run_t6(road_ends: DataFrame) -> DataFrame:
+def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
     """road_ends columns: doc_id, i_id, road_id, is_src_end, xy,
     total_width, driveable, can_out, can_in, restrictions_json,
-    driving_side."""
-    return road_ends.groupBy("doc_id", "i_id").applyInPandas(
-        _t6_kernel, schema=TRIM_SCHEMA
+    driving_side.
+
+    Physical shape: hash-repartition on the full group key, then ONE
+    mapInPandas per partition with an in-batch pandas groupby — same
+    semantics as groupBy().applyInPandas but without the per-group
+    Arrow/pandas plumbing overhead (junction groups are 1-6 rows; at
+    ~40k junctions that overhead dominated the stage)."""
+    spark = road_ends.sparkSession
+    n = spark.sparkContext.defaultParallelism * 4
+
+    def batched(batches):
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows: list[tuple] = []
+        for _, g in pdf.groupby(["doc_id", "i_id"], sort=False):
+            rows.extend(_t6_rows(g, trims_only))
+        yield pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
+
+    return road_ends.repartition(n, "doc_id", "i_id").mapInPandas(
+        batched, schema=TRIM_SCHEMA
     )
 
 

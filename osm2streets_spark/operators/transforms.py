@@ -222,8 +222,7 @@ TRANSFORM_SCHEMA = StructType(
 )
 
 
-def _transform_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    doc_id = pdf["doc_id"].iloc[0]
+def _transform_doc(doc_id: str, pdf: pd.DataFrame) -> pd.DataFrame:
     roads = pdf.to_dict("records")
     for r in roads:
         r["xy"] = list(r["xy"])
@@ -240,13 +239,29 @@ def _transform_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def run_transforms(roads: DataFrame) -> DataFrame:
-    """Per-doc T4+T1+T2+T1. Input needs the columns in _ROAD_FIELDS."""
+    """Per-doc T4+T1+T2+T1. Input needs the columns in _ROAD_FIELDS.
+    Same mapInPandas-with-in-batch-groupby shape as run_t6 (docs are the
+    group; payload bounded by doc size / upstream cell split)."""
     cols = ["doc_id"] + [n for n, _ in _ROAD_FIELDS]
     src = roads
     if "osm_way_ids" not in src.columns:
         src = src.withColumn("osm_way_ids", F.array("way_id"))
     if "too_short" not in src.columns:
         src = src.withColumn("too_short", F.lit(False))
-    return src.select(*cols).groupBy("doc_id").applyInPandas(
-        _transform_kernel, schema=TRANSFORM_SCHEMA
+    spark = src.sparkSession
+    n = spark.sparkContext.defaultParallelism * 4
+
+    def batched(batches):
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = [
+            _transform_doc(doc_id, g)
+            for doc_id, g in pdf.groupby("doc_id", sort=False)
+        ]
+        yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    return src.select(*cols).repartition(n, "doc_id").mapInPandas(
+        batched, schema=TRANSFORM_SCHEMA
     )

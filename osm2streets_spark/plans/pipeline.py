@@ -38,7 +38,14 @@ from ..operators.tiles import with_tile, quadkey
 
 
 def load_documents(spark: SparkSession, fixture_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    """Read + spread documents across the cluster. A fixture is one
+    small parquet file (1 input split); the pipeline's cost is Python
+    geometry CPU per doc, so parallelism must come from an explicit
+    doc_id repartition, not input size. (At 100 TB the Iceberg table is
+    bucketed by doc_id and this becomes a no-op read-time distribution.)"""
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    n = spark.sparkContext.defaultParallelism * 2
+    return docs.repartition(n, "doc_id")
 
 
 def parse_stage(docs: DataFrame):
@@ -88,7 +95,7 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
             # pass 1: trims only, to find trim-annihilated roads
             # (update_geometry.rs:58-63 → CollapseShortRoads candidates)
             ends1 = build_road_ends(roads, None, cfg.driving_side)
-            trims1 = run_t6(ends1)
+            trims1 = run_t6(ends1, trims_only=True)
             roads = apply_trims(roads, trims1).drop(
                 "trim_start", "trim_end", "center_xy", "trimmed_length")
         roads = run_transforms(roads)

@@ -26,6 +26,11 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # our shuffles are byte-small but Python-CPU-heavy (geometry
+        # kernels); don't let AQE coalesce below the core count or the
+        # UDF stages serialize onto one task
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+                str(cores))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
