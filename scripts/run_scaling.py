@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Two-parallelism-level scaling evidence (BASELINE.md protocol).
+
+No multi-node cluster exists in this sandbox, so the north_rule's
+N→4N-executor criterion is evidenced by running the same job on the
+same input at local[8] (stand-in for N) and local[32] (4N), each in a
+fresh JVM, ≥3 timed runs after one warm-up, median reported.
+
+Writes BENCH/BASELINE.md with the table + methodology notes.
+
+Usage: python scripts/run_scaling.py [sf_name]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from osm2streets_spark.session import get_spark
+from osm2streets_spark.sources.fixtures import ensure_fixtures, SF_DOCS
+from osm2streets_spark.plans.pipeline import flagship_query
+
+cores = {cores}
+sf = {sf!r}
+fix = ensure_fixtures(sf)
+spark = get_spark("scaling", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+times = []
+for i in range({runs} + 1):
+    t0 = time.time()
+    n = flagship_query(spark, fix).count()
+    dt = time.time() - t0
+    if i > 0:  # first run is warm-up (JIT, python worker pool spin-up)
+        times.append(dt)
+print("TIMES " + json.dumps({{"cores": cores, "times": times, "rows": n,
+                              "docs": SF_DOCS[sf]}}))
+"""
+
+
+def run_at(cores: int, sf: str, runs: int = 3) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, sf=sf, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("TIMES "):
+            return json.loads(line[6:])
+    raise RuntimeError(f"no TIMES line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
+    results = {}
+    for cores in (8, 32):
+        r = run_at(cores, sf)
+        r["median"] = statistics.median(r["times"])
+        r["docs_per_sec"] = r["docs"] / r["median"]
+        results[cores] = r
+        print(f"cores={cores} times={['%.1f' % t for t in r['times']]} "
+              f"median={r['median']:.1f}s docs/sec={r['docs_per_sec']:.1f}")
+
+    a, b = results[8], results[32]
+    eff = b["docs_per_sec"] / (4 * a["docs_per_sec"])
+    print(f"scaling efficiency 8→32 cores: {eff:.3f}")
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol per BASELINE.md: same deterministic input ({sf} fixture corpus,
+{a['docs']} interleaved documents, seed=42), same code, two parallelism
+levels in fresh JVMs; shuffle partitions scale with cores (2×cores via
+session defaults); 1 warm-up + 3 timed runs, median reported. The job is
+the full street-network conversion (parse → intersection detection →
+way split → lane inference → T6 trim geometry → transforms → GeoJSON
+render + tile assignment) = `flagship_query`.
+
+| run | cores | runs (s) | median wall (s) | docs/sec | scaling efficiency |
+|---|---|---|---|---|---|
+| A (stand-in N) | 8 | {', '.join(f"{t:.1f}" for t in a['times'])} | {a['median']:.1f} | {a['docs_per_sec']:.1f} | — |
+| B (stand-in 4N) | 32 | {', '.join(f"{t:.1f}" for t in b['times'])} | {b['median']:.1f} | {b['docs_per_sec']:.1f} | {eff:.3f} |
+
+Efficiency = (docs/sec at 32 cores) / (4 × docs/sec at 8 cores)
+= {b['docs_per_sec']:.1f} / (4 × {a['docs_per_sec']:.1f}) = **{eff:.3f}**
+(north_rule criterion: ≥ 0.8).
+
+Notes:
+* Skew handling active in both runs: per-(doc_id, i_id) hash
+  repartition before the geometry kernels, AQE skew-join enabled,
+  quadkey cell index with adaptive splitting available for dense docs.
+* At this sandbox scale the corpus is bytes-small and Python-CPU-heavy;
+  fixed driver-side costs (Catalyst planning over ~15 stages, Arrow
+  batch setup) are amortized by the 3-run median protocol.
+""")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
