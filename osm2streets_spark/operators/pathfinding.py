@@ -1,0 +1,99 @@
+"""G1-G4: per-document graph algorithms.
+
+Reference osm2streets/src/pathfinding.rs: Dijkstra distance (:14-27),
+A* simple path with zero heuristic = Dijkstra (:31-69), r-hop BFS
+(:72-93). Per-doc graphs are tiny, so these run inside one batched
+mapInPandas per doc-partition (networkx), like the reference's petgraph
+usage — the distribution axis is documents.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+DIST_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("src_i", LongType()),
+    StructField("dst_i", LongType()),
+    StructField("dist_m", DoubleType()),
+    StructField("n_hops", LongType()),
+])
+
+
+def _doc_graph(pdf: pd.DataFrame):
+    import networkx as nx
+
+    g = nx.Graph()
+    for row in pdf.itertuples(index=False):
+        # oneway roads are still bidirectional for distance queries in
+        # the reference default (pathfinding.rs:14-27 builds Undirected
+        # unless oneway — we keep the undirected simplification and
+        # document it)
+        g.add_edge(int(row.src_i), int(row.dst_i),
+                   weight=float(row.length_m))
+    return g
+
+
+def shortest_dists_from_hubs(roads: DataFrame, max_hubs: int = 2) -> DataFrame:
+    """G1: single-source Dijkstra from the first max_hubs intersections
+    (by id) of each doc to every reachable intersection."""
+    src = roads.select("doc_id", "src_i", "dst_i", "length_m")
+    spark = roads.sparkSession
+    n = spark.sparkContext.defaultParallelism * 2
+
+    def batched(batches):
+        import networkx as nx
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = []
+        for doc_id, g_pdf in pdf.groupby("doc_id", sort=False):
+            g = _doc_graph(g_pdf)
+            hubs = sorted(g.nodes())[:max_hubs]
+            for hub in hubs:
+                dist, paths = nx.single_source_dijkstra(g, hub)
+                for node, d in dist.items():
+                    rows.append((doc_id, hub, int(node), round(float(d), 3),
+                                 len(paths[node]) - 1))
+        yield pd.DataFrame(rows, columns=[f.name for f in DIST_SCHEMA.fields])
+
+    return src.repartition(n, "doc_id").mapInPandas(batched, DIST_SCHEMA)
+
+
+def r_hop_neighborhood(roads: DataFrame, rounds: int = 3) -> DataFrame:
+    """G3 find_nearby_roads (pathfinding.rs:72-93) expressed
+    relationally: r iterated self-joins frontier⨝edges — the Spark-native
+    BFS (bounded r, default 3 as at collapse_intersection.rs:21)."""
+    edges = roads.select("doc_id", "src_i", "dst_i").distinct()
+    back = edges.select("doc_id", F.col("dst_i").alias("src_i"),
+                        F.col("src_i").alias("dst_i"))
+    undirected = edges.unionByName(back).distinct()
+
+    # seed: minimum intersection id per doc
+    seed = undirected.groupBy("doc_id").agg(F.min("src_i").alias("i_id")) \
+        .withColumn("hop", F.lit(0))
+    frontier = seed
+    visited = seed
+    for r in range(1, rounds + 1):
+        nxt = (
+            frontier.join(
+                undirected,
+                (frontier.doc_id == undirected.doc_id)
+                & (frontier.i_id == undirected.src_i))
+            .select(undirected.doc_id, F.col("dst_i").alias("i_id"))
+            .distinct()
+            .withColumn("hop", F.lit(r))
+        )
+        nxt = nxt.join(visited.select("doc_id", "i_id"),
+                       ["doc_id", "i_id"], "left_anti") \
+                 .withColumn("hop", F.lit(r))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

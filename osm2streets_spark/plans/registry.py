@@ -32,6 +32,12 @@ from ..operators.split_ways import (
 from ..operators.lanes_udf import with_lanes
 from ..operators import dedup, similarity, text_analysis, multimodal
 from ..operators.tiles import tile_xy
+from ..operators.split_ways import interior_point_road_map
+from ..operators.extract import node_features
+from ..operators.features import snap_features_to_roads, road_stop_lines
+from ..operators.pathfinding import shortest_dists_from_hubs, r_hop_neighborhood
+from ..operators.render import render_lane_polygons
+from ..operators.markings import render_lane_markings
 from .pipeline import flagship_query, load_documents, build_street_network
 
 Q = dict[str, Callable[[SparkSession, str], DataFrame]]
@@ -276,10 +282,86 @@ def queries() -> Q:
             F.round("trimmed_length", 2).alias("trimmed_length"),
             "lane_chars")
 
+    def sn_feature_snap(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        roads, _, flagged = build_network_v0(filter_ways(ways), nodes)
+        interior = interior_point_road_map(flagged, roads)
+        feats = node_features(nodes)
+        snapped = snap_features_to_roads(feats, interior)
+        return snapped.join(
+            roads.select("doc_id", "road_id", "way_id",
+                         F.col("seg_idx").cast("long").alias("seg_idx")),
+            ["doc_id", "road_id"],
+        ).select("doc_id", "node_id", "feature", "way_id", "seg_idx")
+
+    def g_rhop(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        roads, _, _ = build_network_v0(filter_ways(ways), nodes)
+        # express over quantized keys so the oracle can reproduce ids
+        edges = roads.select(
+            "doc_id", F.col("src_qx").alias("sx"), F.col("src_qy").alias("sy"),
+            F.col("dst_qx").alias("dx"), F.col("dst_qy").alias("dy"),
+        ).distinct()
+        undirected = edges.unionByName(edges.select(
+            "doc_id", F.col("dx").alias("sx"), F.col("dy").alias("sy"),
+            F.col("sx").alias("dx"), F.col("sy").alias("dy"))).distinct()
+        from pyspark.sql import Window
+        w = Window.partitionBy("doc_id").orderBy("sx", "sy")
+        seed = undirected.select(
+            "doc_id", F.col("sx").alias("qx"), F.col("sy").alias("qy"),
+            F.row_number().over(w).alias("rn")).where("rn = 1") \
+            .drop("rn").withColumn("hop", F.lit(0).cast("long"))
+        visited = seed
+        frontier = seed
+        for r in range(1, 4):
+            nxt = (frontier.alias("f").join(
+                undirected.alias("e"),
+                (F.col("f.doc_id") == F.col("e.doc_id"))
+                & (F.col("f.qx") == F.col("e.sx"))
+                & (F.col("f.qy") == F.col("e.sy")))
+                .select(F.col("e.doc_id").alias("doc_id"),
+                        F.col("e.dx").alias("qx"), F.col("e.dy").alias("qy"))
+                .distinct())
+            nxt = nxt.join(visited.select("doc_id", "qx", "qy"),
+                           ["doc_id", "qx", "qy"], "left_anti") \
+                     .withColumn("hop", F.lit(r).cast("long"))
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        return visited
+
     q.update({
         "sn_geojson_features": sn_geojson_features,
         "sn_movements": sn_movements,
         "sn_transformed_roads": sn_transformed_roads,
+        "sn_feature_snap": sn_feature_snap,
+        "g_rhop": g_rhop,
+    })
+
+    # geometry-UDF renders + per-doc graph algorithms (rows-only checks)
+    def _net_roads(spark, sf_dir):
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs)
+        return net["roads"].withColumn(
+            "length_m", F.col("trimmed_length"))
+
+    def sn_stop_lines(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        fways = filter_ways(ways)
+        roads, _, flagged = build_network_v0(fways, nodes)
+        from ..sources.osm_xml import doc_bounds
+        from ..operators.geometry_update import with_projected_geometry
+        roads = with_projected_geometry(roads, doc_bounds(nodes))
+        interior = interior_point_road_map(flagged, roads)
+        feats = node_features(nodes)
+        snapped = snap_features_to_roads(feats, interior)
+        return road_stop_lines(snapped, roads)
+
+    q.update({
+        "sn_stop_lines": sn_stop_lines,
+        "s_lane_polygons": lambda s, d: render_lane_polygons(_net_roads(s, d)),
+        "s_lane_markings": lambda s, d: render_lane_markings(_net_roads(s, d)),
+        "g_shortest_dists": lambda s, d: shortest_dists_from_hubs(
+            _net_roads(s, d)),
     })
 
     # ---- training-data ops over the driver's tables --------------------
@@ -470,6 +552,87 @@ def oracle_sql() -> dict[str, str]:
       )
       select r.doc_id, r.n_roads, i.n_intersections
       from r join i on r.doc_id = i.doc_id
+    """
+
+    o["sn_feature_snap"] = g + f"""
+      , interior as (
+        -- J5: non-intersection points of surviving roads
+        select s.doc_id, s.way_id, s.seg_idx, w2.qx, w2.qy
+        from segpts s
+        join wseg w2 on s.doc_id = w2.doc_id and s.way_id = w2.way_id
+                    and s.pos = w2.pos
+        join roads r on s.doc_id = r.doc_id and s.way_id = r.way_id
+                    and s.seg_idx = r.seg_idx
+        where not w2.is_int
+      ),
+      feats as (
+        select n.doc_id, n.node_id,
+               case
+                 when json_extract_string(n.tags_json, '$.highway')
+                      = 'traffic_signals' then 'traffic_signals'
+                 when json_extract_string(n.tags_json, '$.highway')
+                      = 'crossing' then 'crossing'
+                 else 'asl'
+               end as feature,
+               cast(round(n.lon * 1e7) as bigint) as qx,
+               cast(round(n.lat * 1e7) as bigint) as qy
+        from read_parquet('{fix}/gt_nodes.parquet') n
+        where json_extract_string(n.tags_json, '$.highway')
+                  in ('traffic_signals', 'crossing')
+           or json_extract_string(n.tags_json, '$.cycleway') = 'asl'
+      )
+      select f.doc_id, f.node_id, f.feature, i.way_id, i.seg_idx
+      from feats f
+      join interior i on f.doc_id = i.doc_id and f.qx = i.qx
+                     and f.qy = i.qy
+    """
+    o["g_rhop"] = g + """
+      , e0 as (
+        select distinct doc_id, src_qx as sx, src_qy as sy,
+               dst_qx as dx, dst_qy as dy from roads
+      ),
+      und as (
+        select * from e0
+        union
+        select doc_id, dx as sx, dy as sy, sx as dx, sy as dy from e0
+      ),
+      seed as (
+        select doc_id, sx as qx, sy as qy, cast(0 as bigint) as hop
+        from (select *, row_number() over (partition by doc_id
+                    order by sx, sy) as rn from und)
+        where rn = 1
+      ),
+      h1 as (
+        select distinct e.doc_id, e.dx as qx, e.dy as qy
+        from seed f join und e
+          on f.doc_id = e.doc_id and f.qx = e.sx and f.qy = e.sy
+        where not exists (select 1 from seed s2 where s2.doc_id = e.doc_id
+                          and s2.qx = e.dx and s2.qy = e.dy)
+      ),
+      h2 as (
+        select distinct e.doc_id, e.dx as qx, e.dy as qy
+        from h1 f join und e
+          on f.doc_id = e.doc_id and f.qx = e.sx and f.qy = e.sy
+        where not exists (select 1 from seed s where s.doc_id = e.doc_id
+                          and s.qx = e.dx and s.qy = e.dy)
+          and not exists (select 1 from h1 p where p.doc_id = e.doc_id
+                          and p.qx = e.dx and p.qy = e.dy)
+      ),
+      h3 as (
+        select distinct e.doc_id, e.dx as qx, e.dy as qy
+        from h2 f join und e
+          on f.doc_id = e.doc_id and f.qx = e.sx and f.qy = e.sy
+        where not exists (select 1 from seed s where s.doc_id = e.doc_id
+                          and s.qx = e.dx and s.qy = e.dy)
+          and not exists (select 1 from h1 p where p.doc_id = e.doc_id
+                          and p.qx = e.dx and p.qy = e.dy)
+          and not exists (select 1 from h2 p2 where p2.doc_id = e.doc_id
+                          and p2.qx = e.dx and p2.qy = e.dy)
+      )
+      select doc_id, qx, qy, hop from seed
+      union all select doc_id, qx, qy, cast(1 as bigint) from h1
+      union all select doc_id, qx, qy, cast(2 as bigint) from h2
+      union all select doc_id, qx, qy, cast(3 as bigint) from h3
     """
 
     # ---- training-data ops (driver tables registered as views) ---------

@@ -36,7 +36,10 @@ FIXTURE_ROOT = os.environ.get(
 )
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
-SF_DOCS = {"sf0.001": 18, "sf0.01": 180, "sf0.1": 1800}
+SF_DOCS = {"sf0.001": 18, "sf0.01": 180, "sf0.1": 1800,
+           # dedicated scaling-evidence corpus: large enough that the
+           # per-doc Python geometry CPU dominates fixed stage overhead
+           "sf_scale": 7200}
 
 
 # ---------------------------------------------------------------------------
