@@ -53,6 +53,53 @@ def resolve_restrictions(restrictions: DataFrame, nodes: DataFrame,
     return out
 
 
+def resolve_via_way_restrictions(restrictions: DataFrame,
+                                 roads: DataFrame) -> DataFrame:
+    """J6 (split_ways.rs:163-213): (from_way, via_way, to_way) resolves
+    when exactly ONE road carries the via way; from/to roads must touch
+    the via road's endpoints. → (doc_id, restriction_type, from_road,
+    via_road, to_road) — the reference stores these as 'complicated'
+    restrictions on the from-road (road.rs:58)."""
+    r = restrictions.where(F.col("via_way").isNotNull())
+
+    via_counts = roads.groupBy("doc_id", "way_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("road_id").alias("via_road"),
+        F.min("src_i").alias("via_src"),
+        F.min("dst_i").alias("via_dst"),
+    ).where(F.col("n") == 1).drop("n")
+
+    r = r.join(
+        via_counts.withColumnRenamed("way_id", "via_way"),
+        ["doc_id", "via_way"],
+    )
+
+    incident = roads.select(
+        "doc_id", "road_id", "way_id",
+        F.explode(F.array("src_i", "dst_i")).alias("i_id"),
+    )
+    frm = incident.select(
+        "doc_id", F.col("way_id").alias("from_way"),
+        F.col("road_id").alias("from_road"), F.col("i_id").alias("from_i"))
+    to = incident.select(
+        "doc_id", F.col("way_id").alias("to_way"),
+        F.col("road_id").alias("to_road"), F.col("i_id").alias("to_i"))
+
+    out = (
+        r.join(frm, ["doc_id", "from_way"])
+        .where((F.col("from_i") == F.col("via_src"))
+               | (F.col("from_i") == F.col("via_dst")))
+        .join(to, ["doc_id", "to_way"])
+        .where(((F.col("to_i") == F.col("via_src"))
+                | (F.col("to_i") == F.col("via_dst")))
+               & (F.col("to_i") != F.col("from_i")))
+        .select("doc_id", "restriction_type", "from_road", "via_road",
+                "to_road")
+        .dropDuplicates()
+    )
+    return out
+
+
 def restrictions_by_intersection(resolved: DataFrame) -> DataFrame:
     """Aggregate to one JSON payload per intersection for the T6 kernel."""
     return resolved.groupBy("doc_id", "i_id").agg(

@@ -188,9 +188,92 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
     return list(by_id.values())
 
 
-def apply_standard_transforms(roads: list[dict]) -> list[dict]:
-    """T4 then the standard list T1, T2, T1 (transform/mod.rs:22-29)."""
+def zip_sidepaths(roads: list[dict], max_dist_m: float = 30.0) -> list[dict]:
+    """T3 (operations/zip_sidepath.rs:28-202): a separately-mapped
+    cycleway running parallel to a main road is removed and its lanes
+    (plus a Planters buffer, zip_sidepath.rs:198) spliced into the main
+    road on the nearer side; directions flip when anti-parallel.
+
+    Matching is the reference's closest-side test (midpoint distance,
+    overall angle within 90°, zip_sidepath.rs:121-141) — the connector-
+    walk refinement (<10 m connectors, :29) is approximated by the
+    distance bound. Divergence documented in STATUS.md."""
+    import json as _json
+
+    TO_CHAR = {"driving": "d", "parking": "p", "sidewalk": "s",
+               "shoulder": "S", "biking": "b", "bus": "B",
+               "shared_left_turn": "C", "construction": "x",
+               "light_rail": "l", "buffer": "|", "footway": "f",
+               "shared_use": "F"}
+
+    def midpoint_angle(xy_flat):
+        pl = np.asarray(xy_flat, dtype=float).reshape(-1, 2)
+        mid = pl[len(pl) // 2]
+        v = pl[-1] - pl[0]
+        import math
+        return mid, math.degrees(math.atan2(v[1], v[0]))
+
+    by_id = {r["road_id"]: r for r in roads}
+    sidepaths = [r for r in roads
+                 if r["highway_type"] == "cycleway" and not r["driveable"]]
+    for sp in sorted(sidepaths, key=lambda r: r["road_id"]):
+        sp_mid, sp_ang = midpoint_angle(sp["xy"])
+        best = None
+        for r in roads:
+            if r["road_id"] not in by_id or not r["driveable"]:
+                continue
+            r_mid, r_ang = midpoint_angle(r["xy"])
+            d = float(np.hypot(*(sp_mid - r_mid)))
+            ang_diff = abs((sp_ang - r_ang + 90) % 180 - 90)
+            if d <= max_dist_m and ang_diff <= 45:
+                if best is None or d < best[0]:
+                    best = (d, r, r_ang)
+        if best is None:
+            continue
+        _, main, main_ang = best
+        # which side of the main road is the sidepath on?
+        pl = np.asarray(main["xy"], dtype=float).reshape(-1, 2)
+        v = pl[-1] - pl[0]
+        w = sp_mid - pl[0]
+        left_side = (v[0] * w[1] - v[1] * w[0]) > 0
+        anti_parallel = abs((sp_ang - main_ang + 180) % 360 - 180) > 90
+
+        sp_lanes = _json.loads(sp["lane_specs_json"])
+        if anti_parallel:
+            sp_lanes = [dict(l, dir=("backward" if l["dir"] == "forward"
+                                     else "forward"))
+                        for l in reversed(sp_lanes)]
+        planter = {"lt": "buffer", "dir": sp_lanes[-1]["dir"] if sp_lanes
+                   else "forward", "width": 2.0, "subtype": "planters",
+                   "allowed_turns": []}
+        main_lanes = _json.loads(main["lane_specs_json"])
+        if left_side:
+            new_lanes = sp_lanes + [planter] + main_lanes
+        else:
+            new_lanes = main_lanes + [planter] + sp_lanes
+        merged = dict(main)
+        merged["lane_specs_json"] = _json.dumps(new_lanes,
+                                                separators=(",", ":"))
+        merged["lane_chars"] = "".join(TO_CHAR[l["lt"]] for l in new_lanes)
+        merged["dir_chars"] = "".join(
+            "^" if l["dir"] == "forward" else "v" for l in new_lanes)
+        merged["total_width"] = round(sum(l["width"] for l in new_lanes), 6)
+        merged["osm_way_ids"] = sorted(
+            set(merged.get("osm_way_ids", [merged["way_id"]]))
+            | set(sp.get("osm_way_ids", [sp["way_id"]])))
+        by_id[main["road_id"]] = merged
+        del by_id[sp["road_id"]]
+    return list(by_id.values())
+
+
+def apply_standard_transforms(roads: list[dict],
+                              with_sidepath_zip: bool = False) -> list[dict]:
+    """T4 then the standard list T1, T2, T1 (transform/mod.rs:22-29);
+    T3 sidepath zipping is opt-in, matching the reference's experimental
+    toggle (osm2streets-py/src/lib.rs:90-99)."""
     roads = remove_disconnected(roads)
+    if with_sidepath_zip:
+        roads = zip_sidepaths(roads)
     roads = collapse_short_roads(roads)
     roads = collapse_degenerate(roads)
     roads = collapse_short_roads(roads)
@@ -222,7 +305,8 @@ TRANSFORM_SCHEMA = StructType(
 )
 
 
-def _transform_doc(doc_id: str, pdf: pd.DataFrame) -> pd.DataFrame:
+def _transform_doc(doc_id: str, pdf: pd.DataFrame,
+                   with_sidepath_zip: bool = False) -> pd.DataFrame:
     roads = pdf.to_dict("records")
     for r in roads:
         r["xy"] = list(r["xy"])
@@ -230,7 +314,7 @@ def _transform_doc(doc_id: str, pdf: pd.DataFrame) -> pd.DataFrame:
             r["osm_way_ids"] = [r["way_id"]]
         else:
             r["osm_way_ids"] = list(r["osm_way_ids"])
-    roads = apply_standard_transforms(roads)
+    roads = apply_standard_transforms(roads, with_sidepath_zip)
     cols = [n for n, _ in _ROAD_FIELDS]
     data = {"doc_id": [doc_id] * len(roads)}
     for c in cols:
@@ -238,8 +322,9 @@ def _transform_doc(doc_id: str, pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(data)
 
 
-def run_transforms(roads: DataFrame) -> DataFrame:
-    """Per-doc T4+T1+T2+T1. Input needs the columns in _ROAD_FIELDS.
+def run_transforms(roads: DataFrame,
+                   with_sidepath_zip: bool = False) -> DataFrame:
+    """Per-doc T4[+T3]+T1+T2+T1. Input needs the columns in _ROAD_FIELDS.
     Same mapInPandas-with-in-batch-groupby shape as run_t6 (docs are the
     group; payload bounded by doc size / upstream cell split)."""
     cols = ["doc_id"] + [n for n, _ in _ROAD_FIELDS]
@@ -257,7 +342,7 @@ def run_transforms(roads: DataFrame) -> DataFrame:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         outs = [
-            _transform_doc(doc_id, g)
+            _transform_doc(doc_id, g, with_sidepath_zip)
             for doc_id, g in pdf.groupby("doc_id", sort=False)
         ]
         yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]

@@ -1,0 +1,87 @@
+"""Pure-Python tests of the per-doc transform kernels (T1-T4, T3 zip)."""
+
+import json
+
+from osm2streets_spark.operators.transforms import (
+    remove_disconnected, collapse_short_roads, collapse_degenerate,
+    zip_sidepaths,
+)
+
+
+def mk_road(rid, src, dst, xy, hw="residential", lanes="s|dd|s",
+            driveable=True, **kw):
+    specs = []
+    for ch in lanes:
+        lt = {"s": "sidewalk", "|": "buffer", "d": "driving",
+              "b": "biking"}[ch]
+        specs.append({"lt": lt, "dir": "forward",
+                      "width": {"s": 1.5, "|": 0.1, "d": 3.0, "b": 1.5}[ch],
+                      "subtype": "", "allowed_turns": []})
+    r = {
+        "road_id": rid, "way_id": rid, "src_i": src, "dst_i": dst,
+        "xy": [float(v) for v in xy], "highway_type": hw, "name": "X",
+        "layer": 0, "speed_kph": None, "oneway_dir": "",
+        "lane_specs_json": json.dumps(specs, separators=(",", ":")),
+        "lane_chars": lanes, "dir_chars": "^" * len(lanes),
+        "total_width": sum(s["width"] for s in specs),
+        "driveable": driveable, "internal_junction_road": False,
+        "too_short": False, "osm_way_ids": [rid],
+        "lon0": 0.0, "lat0": 0.0,
+    }
+    r.update(kw)
+    return r
+
+
+def test_remove_disconnected_keeps_largest():
+    roads = [
+        mk_road(1, 10, 11, [0, 0, 100, 0]),
+        mk_road(2, 11, 12, [100, 0, 200, 0]),
+        mk_road(3, 20, 21, [500, 500, 600, 500]),  # detached
+    ]
+    kept = remove_disconnected(roads)
+    assert sorted(r["road_id"] for r in kept) == [1, 2]
+
+
+def test_collapse_short_road_merges_endpoints():
+    roads = [
+        mk_road(1, 10, 11, [0, 0, 100, 0]),
+        mk_road(2, 11, 12, [100, 0, 103, 0], internal_junction_road=True),
+        mk_road(3, 12, 13, [103, 0, 200, 0]),
+    ]
+    out = collapse_short_roads(roads)
+    assert sorted(r["road_id"] for r in out) == [1, 3]
+    r3 = next(r for r in out if r["road_id"] == 3)
+    assert r3["src_i"] == 11  # dst of candidate merged into its src
+
+
+def test_collapse_degenerate_splices():
+    roads = [
+        mk_road(1, 10, 11, [0, 0, 100, 0]),
+        mk_road(2, 11, 12, [100, 0, 200, 0]),
+    ]
+    out = collapse_degenerate(roads)
+    assert len(out) == 1
+    merged = out[0]
+    assert merged["src_i"] == 10 and merged["dst_i"] == 12
+    assert sorted(merged["osm_way_ids"]) == [1, 2]
+
+
+def test_zip_sidepath_splices_lanes():
+    main = mk_road(1, 10, 11, [0, 0, 200, 0], hw="primary")
+    track = mk_road(2, 20, 21, [0, 8, 200, 8], hw="cycleway", lanes="b",
+                    driveable=False)
+    out = zip_sidepaths([main, track])
+    assert len(out) == 1
+    z = out[0]
+    # track was north (left of west→east travel): bike + planter prepended
+    assert z["lane_chars"] == "b|s|dd|s"
+    assert 2 in z["osm_way_ids"]
+    assert z["total_width"] == main["total_width"] + 1.5 + 2.0
+
+
+def test_zip_sidepath_ignores_far_track():
+    main = mk_road(1, 10, 11, [0, 0, 200, 0], hw="primary")
+    far = mk_road(2, 20, 21, [0, 80, 200, 80], hw="cycleway", lanes="b",
+                  driveable=False)
+    out = zip_sidepaths([main, far])
+    assert len(out) == 2
