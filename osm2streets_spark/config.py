@@ -20,6 +20,9 @@ class MapConfig:
     driving_side: str = "right"  # "right" | "left"
     country_code: str = "US"
     inferred_sidewalks: bool = True
+    # T3 sidepath zipping is opt-in, matching the reference's
+    # experimental toggle (osm2streets-py/src/lib.rs:90-99)
+    zip_sidepaths: bool = False
     # quantization for point-equality joins (reference uses exact f64 bit
     # hashing, streets_reader/src/split_ways.rs:26; we quantize lon/lat to
     # 1e-7 deg = OSM native precision so both sides of every join agree)

@@ -197,11 +197,12 @@ def movements_and_kind(roads_cw: list[dict], driving_side: str = "right"):
     (road.rs:232-254).
     """
     droads = [r for r in roads_cw if r["driveable"]]
+    # a terminus is characterised by a single connected DRIVEABLE road
+    # (intersection.rs:305-308); zero driveable roads falls through to
+    # the empty-connections path → Connection, exactly like the
+    # reference (a footway dead-end is a Connection there too)
     if len(droads) == 1:
         return [], "Terminus"
-    if len(droads) == 0:
-        # walking/cycling-only junction: classify by arity
-        return [], ("Terminus" if len(roads_cw) == 1 else "Connection")
 
     connections = []
     for s in range(len(droads)):

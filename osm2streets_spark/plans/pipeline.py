@@ -78,12 +78,20 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     intersection_features, features (union), output_documents (span
     passthrough)."""
     nodes, ways, relations = parse_stage(docs)
+    # nodes feed bounds, way-points, features and restrictions — persist
+    # so the XML parse (the one full-corpus Python pass) runs ONCE.
+    # (On a real deployment this is the bronze parquet/Iceberg table.)
+    nodes = nodes.persist()
     roads, ints_v0, _ = graph_stage(nodes, ways, cfg)
 
     anchors = doc_bounds(nodes)
     roads = with_projected_geometry(roads, anchors)
     roads = roads.withColumn("osm_way_ids", F.array("way_id")) \
                  .withColumn("too_short", F.lit(False))
+    # roads feeds T6 pass 1 (×2 ends), restrictions resolution and the
+    # transforms — persist to stop the split/lane chain recomputing per
+    # consumer (this was the dominant cost before caching).
+    roads = roads.persist()
 
     feats = node_features(nodes)
     restr = restriction_relations(relations)
@@ -98,11 +106,9 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
             trims1 = run_t6(ends1, trims_only=True)
             roads = apply_trims(roads, trims1).drop(
                 "trim_start", "trim_end", "center_xy", "trimmed_length")
-        roads = run_transforms(roads)
-        # transforms rewrote endpoints/geometry; re-derive driveability
-        # columns preserved by the kernel schema
+        roads = run_transforms(roads, cfg.zip_sidepaths).persist()
     ends = build_road_ends(roads, restr_by_i, cfg.driving_side)
-    trims = run_t6(ends)
+    trims = run_t6(ends).persist()
     roads_final = apply_trims(roads, trims)
 
     # intersections surviving the transforms = endpoints of final roads

@@ -38,6 +38,7 @@ from ..operators.features import snap_features_to_roads, road_stop_lines
 from ..operators.pathfinding import shortest_dists_from_hubs, r_hop_neighborhood
 from ..operators.render import render_lane_polygons
 from ..operators.markings import render_lane_markings
+from ..operators.driving_side import LEFT_DRIVING_BOXES
 from .pipeline import flagship_query, load_documents, build_street_network
 
 Q = dict[str, Callable[[SparkSession, str], DataFrame]]
@@ -356,10 +357,48 @@ def queries() -> Q:
         snapped = snap_features_to_roads(feats, interior)
         return road_stop_lines(snapped, roads)
 
+    def sn_via_way_restrictions(spark, sf_dir):
+        nodes, ways, relations = _parsed(spark, sf_dir)
+        roads, _, _ = build_network_v0(filter_ways(ways), nodes)
+        from ..operators.restrictions import resolve_via_way_restrictions
+        r = restriction_relations(relations)
+        resolved = resolve_via_way_restrictions(r, roads)
+        seg = roads.select("doc_id", "road_id", "way_id",
+                           F.col("seg_idx").cast("long").alias("seg_idx"))
+        out = resolved
+        for role in ("from", "via", "to"):
+            out = out.join(
+                seg.select("doc_id",
+                           F.col("road_id").alias(f"{role}_road"),
+                           F.col("way_id").alias(f"{role}_way"),
+                           F.col("seg_idx").alias(f"{role}_seg")),
+                ["doc_id", f"{role}_road"])
+        return out.select("doc_id", "restriction_type",
+                          "from_way", "from_seg", "via_way", "via_seg",
+                          "to_way", "to_seg")
+
+    def sn_driving_side(spark, sf_dir):
+        nodes, _, _ = _parsed(spark, sf_dir)
+        from ..sources.osm_xml import doc_bounds
+        from ..operators.driving_side import with_driving_side
+        return with_driving_side(doc_bounds(nodes)).select(
+            "doc_id", "driving_side")
+
+    def s_intersection_markings(spark, sf_dir):
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs)
+        from ..operators.intersection_markings import (
+            render_intersection_markings,
+        )
+        return render_intersection_markings(net["intersections"])
+
     q.update({
         "sn_stop_lines": sn_stop_lines,
+        "sn_via_way_restrictions": sn_via_way_restrictions,
+        "sn_driving_side": sn_driving_side,
         "s_lane_polygons": lambda s, d: render_lane_polygons(_net_roads(s, d)),
         "s_lane_markings": lambda s, d: render_lane_markings(_net_roads(s, d)),
+        "s_intersection_markings": s_intersection_markings,
         "g_shortest_dists": lambda s, d: shortest_dists_from_hubs(
             _net_roads(s, d)),
     })
@@ -633,6 +672,74 @@ def oracle_sql() -> dict[str, str]:
       union all select doc_id, qx, qy, cast(1 as bigint) from h1
       union all select doc_id, qx, qy, cast(2 as bigint) from h2
       union all select doc_id, qx, qy, cast(3 as bigint) from h3
+    """
+
+    o["sn_via_way_restrictions"] = g + f"""
+      , rel as (
+        select r.doc_id, r.rel_id,
+               json_extract_string(r.tags_json, '$.restriction')
+                   as restriction,
+               unnest(r.members) as mem
+        from read_parquet('{fix}/gt_relations.parquet') r
+        where json_extract_string(r.tags_json, '$.type') = 'restriction'
+      ),
+      piv as (
+        select doc_id, rel_id,
+               case when max(restriction) like 'no_%' then 'Ban'
+                    when max(restriction) like 'only_%' then 'Only' end
+                   as restriction_type,
+               max(case when mem.role = 'from' and mem.type = 'way'
+                   then mem.ref end) as from_way,
+               max(case when mem.role = 'via' and mem.type = 'way'
+                   then mem.ref end) as via_way,
+               max(case when mem.role = 'to' and mem.type = 'way'
+                   then mem.ref end) as to_way
+        from rel group by doc_id, rel_id
+      ),
+      via as (
+        -- unique road carrying the via way (count = 1 guard)
+        select doc_id, way_id as via_way, min(seg_idx) as via_seg,
+               min(src_qx) as vsx, min(src_qy) as vsy,
+               min(dst_qx) as vdx, min(dst_qy) as vdy
+        from roads group by doc_id, way_id having count(*) = 1
+      ),
+      ends as (
+        select doc_id, way_id, seg_idx, src_qx as qx, src_qy as qy
+        from roads
+        union all
+        select doc_id, way_id, seg_idx, dst_qx as qx, dst_qy as qy
+        from roads
+      )
+      select distinct p.doc_id, p.restriction_type,
+             p.from_way, f.seg_idx as from_seg,
+             p.via_way, v.via_seg,
+             p.to_way, t.seg_idx as to_seg
+      from piv p
+      join via v on p.doc_id = v.doc_id and p.via_way = v.via_way
+      join ends f on p.doc_id = f.doc_id and p.from_way = f.way_id
+                 and ((f.qx = v.vsx and f.qy = v.vsy)
+                      or (f.qx = v.vdx and f.qy = v.vdy))
+      join ends t on p.doc_id = t.doc_id and p.to_way = t.way_id
+                 and ((t.qx = v.vsx and t.qy = v.vsy)
+                      or (t.qx = v.vdx and t.qy = v.vdy))
+                 and not (t.qx = f.qx and t.qy = f.qy)
+      where p.restriction_type is not null
+        and p.from_way is not null and p.via_way is not null
+        and p.to_way is not null
+    """
+    side_case = " ".join(
+        f"when cx >= {lo} and cx <= {hi} and cy >= {blo} and cy <= {bhi} "
+        f"then 'left'"
+        for _, lo, hi, blo, bhi, _ in LEFT_DRIVING_BOXES
+    )
+    o["sn_driving_side"] = f"""
+      with b as (
+        select doc_id, (min(lon) + max(lon)) / 2.0 as cx,
+               (min(lat) + max(lat)) / 2.0 as cy
+        from read_parquet('{fix}/gt_nodes.parquet') group by 1
+      )
+      select doc_id, case {side_case} else 'right' end as driving_side
+      from b
     """
 
     # ---- training-data ops (driver tables registered as views) ---------

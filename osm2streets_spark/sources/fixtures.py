@@ -36,10 +36,13 @@ FIXTURE_ROOT = os.environ.get(
 )
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
-SF_DOCS = {"sf0.001": 18, "sf0.01": 180, "sf0.1": 1800,
+# bump when generator output changes — cached fixture dirs regenerate
+GEN_VERSION = "v2"
+
+SF_DOCS = {"sf0.001": 19, "sf0.01": 190, "sf0.1": 1900,
            # dedicated scaling-evidence corpus: large enough that the
            # per-doc Python geometry CPU dominates fixed stage overhead
-           "sf_scale": 7200}
+           "sf_scale": 7600}
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +221,12 @@ def topo_dual_carriageway_split():
 
 
 def topo_crossing_features():
+    # node 2: mid-road crossing (J3 snap); node 3: crossing AT the
+    # junction with way 101 (S8 intersection crossing outline)
     nodes = [(1, -100.0, 0.0, {}),
              (2, 0.0, 0.0, {"highway": "crossing", "crossing": "marked"}),
-             (3, 100.0, 0.0, {}),
+             (3, 100.0, 0.0, {"highway": "crossing",
+                              "crossing": "traffic_signals"}),
              (4, 200.0, 0.0, {"highway": "crossing", "crossing": "traffic_signals",
                               "crossing:island": "yes"}),
              (5, 300.0, 0.0, {}),
@@ -279,6 +285,29 @@ def topo_filtered_ways():
     return nodes, ways, []
 
 
+def topo_restricted_via_way():
+    # U-turn ban across a short median link: from way 100, via way 101,
+    # to way 102 (J6 via-way restriction, split_ways.rs:163-213)
+    nodes = [(1, -200.0, 10.0, {}), (2, 0.0, 10.0, {}),
+             (3, 0.0, -10.0, {}), (4, -200.0, -10.0, {}),
+             (5, 120.0, 10.0, {}), (6, 120.0, -10.0, {})]
+    ways = [(100, [1, 2], {"highway": "primary", "name": "East A",
+                           "oneway": "yes"}),
+            (101, [2, 3], {"highway": "primary", "name": "Median"}),
+            (102, [3, 4], {"highway": "primary", "name": "West B",
+                           "oneway": "yes"}),
+            (103, [2, 5], {"highway": "primary", "oneway": "yes",
+                           "name": "East A"}),
+            (104, [6, 3], {"highway": "primary", "oneway": "yes",
+                           "name": "West B"})]
+    rels = [(1000, [("from", "way", 100), ("via", "way", 101),
+                    ("to", "way", 102)],
+             {"type": "restriction", "restriction": "no_u_turn"})]
+    return nodes, ways, rels
+
+
+# NOTE: append-only list — doc_id = f"{name}:{idx}" with idx % len(...)
+# so inserting in the middle would silently remap every fixture.
 TOPOLOGIES = [
     ("grid_3x3", topo_grid_3x3),
     ("t_junction", topo_t_junction),
@@ -298,6 +327,7 @@ TOPOLOGIES = [
     ("dense_cell", topo_dense_cell),
     ("y_fork", topo_y_fork),
     ("filtered_ways", topo_filtered_ways),
+    ("restricted_via_way", topo_restricted_via_way),
 ]
 
 
@@ -427,8 +457,12 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     out_dir = os.path.join(root, sf_name)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
-        return out_dir
-    n_docs = SF_DOCS.get(sf_name, 16)
+        with open(done) as fh:
+            if fh.read().strip() == GEN_VERSION:
+                return out_dir
+        import shutil
+        shutil.rmtree(out_dir)
+    n_docs = SF_DOCS.get(sf_name, 19)
     os.makedirs(out_dir, exist_ok=True)
     docs, nodes, ways, rels = generate(n_docs)
 
@@ -474,7 +508,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         os.path.join(out_dir, "gt_relations.parquet"),
     )
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(GEN_VERSION + "\n")
     return out_dir
 
 
