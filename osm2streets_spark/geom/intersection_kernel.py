@@ -82,6 +82,16 @@ def compute_trims(roads_cw: list[dict]) -> dict:
             length = polyline_length(r["xy"])
             trims[r["key"]] = max(0.1, min(1.0, length / 2.0))
         return trims
+    # J9 on/off-ramp branch (geometry/on_off_ramp.rs:13-179): 3 roads
+    # where exactly one is a *_link — the two mainline roads are
+    # continuous pavement, so their mutual collision must NOT trim them
+    # (the reference trims the thin road + one thick and extends the
+    # other; we approximate by skipping the thick-thick pair).
+    ramp_links = [r for r in roads_cw if r.get("is_link")]
+    skip_pair = None
+    if n == 3 and len(ramp_links) == 1:
+        thick = [r["key"] for r in roads_cw if not r.get("is_link")]
+        skip_pair = frozenset(thick)
     # general case (general_case.rs:11-128): for each adjacent clockwise
     # pair, collide the thickened edges; each road's trim = deepest
     # collision across its pairs, clamped to its length. Edge polylines
@@ -96,6 +106,8 @@ def compute_trims(roads_cw: list[dict]) -> dict:
     for i in range(n):
         j = (i + 1) % n
         a, b = roads_cw[i], roads_cw[j]
+        if skip_pair is not None and frozenset((a["key"], b["key"])) == skip_pair:
+            continue
         best_a = best_b = 0.0
         for ea in edges[i]:
             for eb in edges[j]:

@@ -114,6 +114,7 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
             "driveable": bool(row.driveable),
             "can_out": bool(row.can_out),
             "can_in": bool(row.can_in),
+            "is_link": bool(getattr(row, "is_link", False)),
             "banned_to": banned,
             "only_to": only,
         })
@@ -176,18 +177,21 @@ def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
     fwd = F.col("oneway_dir") == "forward"
     back = F.col("oneway_dir") == "backward"
     bidi = F.col("oneway_dir") == ""
+    is_link = F.col("highway_type").endswith("_link")
     src = roads.select(
         "doc_id", F.col("src_i").alias("i_id"), "road_id",
         F.lit(True).alias("is_src_end"), "xy", "total_width", "driveable",
         # out of the src end = driving backward along the road
         (bidi | back).alias("can_out"),
         (bidi | fwd).alias("can_in"),
+        is_link.alias("is_link"),
     )
     dst = roads.select(
         "doc_id", F.col("dst_i").alias("i_id"), "road_id",
         F.lit(False).alias("is_src_end"), "xy", "total_width", "driveable",
         (bidi | fwd).alias("can_out"),
         (bidi | back).alias("can_in"),
+        is_link.alias("is_link"),
     )
     ends = src.unionByName(dst)
     if restrictions_by_i is not None:

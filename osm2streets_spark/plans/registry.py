@@ -36,8 +36,9 @@ from ..operators.split_ways import interior_point_road_map
 from ..operators.extract import node_features
 from ..operators.features import snap_features_to_roads, road_stop_lines
 from ..operators.pathfinding import shortest_dists_from_hubs, r_hop_neighborhood
-from ..operators.render import render_lane_polygons
+from ..operators.render import render_lane_polygons, render_surfaces
 from ..operators.markings import render_lane_markings
+from ..operators.dual_carriageway import detect_dual_carriageway_endpoints
 from ..operators.driving_side import LEFT_DRIVING_BOXES
 from .pipeline import flagship_query, load_documents, build_street_network
 
@@ -377,6 +378,15 @@ def queries() -> Q:
                           "from_way", "from_seg", "via_way", "via_seg",
                           "to_way", "to_seg")
 
+    def sn_dual_carriageway(spark, sf_dir):
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        fways = with_parsed_road_tags(filter_ways(ways))
+        roads, _, _ = build_network_v0(fways, nodes)
+        roads = roads.join(
+            fways.select("doc_id", "way_id", "name", "oneway"),
+            ["doc_id", "way_id"])
+        return detect_dual_carriageway_endpoints(roads)
+
     def sn_driving_side(spark, sf_dir):
         nodes, _, _ = _parsed(spark, sf_dir)
         from ..sources.osm_xml import doc_bounds
@@ -395,9 +405,11 @@ def queries() -> Q:
     q.update({
         "sn_stop_lines": sn_stop_lines,
         "sn_via_way_restrictions": sn_via_way_restrictions,
+        "sn_dual_carriageway": sn_dual_carriageway,
         "sn_driving_side": sn_driving_side,
         "s_lane_polygons": lambda s, d: render_lane_polygons(_net_roads(s, d)),
         "s_lane_markings": lambda s, d: render_lane_markings(_net_roads(s, d)),
+        "s_surfaces": lambda s, d: render_surfaces(_net_roads(s, d)),
         "s_intersection_markings": s_intersection_markings,
         "g_shortest_dists": lambda s, d: shortest_dists_from_hubs(
             _net_roads(s, d)),
@@ -726,6 +738,34 @@ def oracle_sql() -> dict[str, str]:
       where p.restriction_type is not null
         and p.from_way is not null and p.via_way is not null
         and p.to_way is not null
+    """
+    o["sn_dual_carriageway"] = g + f"""
+      , named as (
+        select r.doc_id, r.way_id, r.src_qx, r.src_qy, r.dst_qx, r.dst_qy,
+               json_extract_string(w.tags_json, '$.name') as name,
+               coalesce(json_extract_string(w.tags_json, '$.oneway'), '')
+                   = 'yes' as oneway
+        from roads r
+        join read_parquet('{fix}/gt_ways.parquet') w
+          on r.doc_id = w.doc_id and r.way_id = w.way_id
+      ),
+      ends2 as (
+        select doc_id, src_qx as qx, src_qy as qy, name, oneway from named
+        union all
+        select doc_id, dst_qx as qx, dst_qy as qy, name, oneway from named
+      ),
+      grp as (
+        select doc_id, qx, qy, name,
+               sum(oneway::int) as n_oneway,
+               sum((not oneway)::int) as n_bidi
+        from ends2
+        where name is not null and name != ''
+        group by 1, 2, 3, 4
+      )
+      select doc_id, qx, qy, name,
+             cast(n_oneway as bigint) as n_oneway,
+             cast(n_bidi as bigint) as n_bidi
+      from grp where n_oneway = 2 and n_bidi = 1
     """
     side_case = " ".join(
         f"when cx >= {lo} and cx <= {hi} and cy >= {blo} and cy <= {bhi} "
