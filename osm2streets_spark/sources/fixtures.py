@@ -37,12 +37,14 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v2"
+GEN_VERSION = "v4"
 
 SF_DOCS = {"sf0.001": 19, "sf0.01": 190, "sf0.1": 1900,
-           # dedicated scaling-evidence corpus: large enough that the
-           # per-doc Python geometry CPU dominates fixed stage overhead
-           "sf_scale": 7600}
+           # dedicated scaling-evidence corpus: HEAVY topologies (a real
+           # clipped OSM extract has hundreds of ways, unlike the toy
+           # correctness fixtures) so per-doc geometry CPU dominates
+           # fixed stage overhead — the regime the 100 TB target runs in
+           "sf_scale": 2400}
 
 
 # ---------------------------------------------------------------------------
@@ -53,25 +55,29 @@ SF_DOCS = {"sf0.001": 19, "sf0.01": 190, "sf0.1": 1900,
 #   rels:  list[(rel_id, [(role, type, ref)], tags: dict)]
 # ---------------------------------------------------------------------------
 
-def topo_grid_3x3():
+def topo_grid(n: int = 3):
     nodes, ways = [], []
     nid = {}
     k = 1
-    for i in range(3):
-        for j in range(3):
+    for i in range(n):
+        for j in range(n):
             nid[(i, j)] = k
             nodes.append((k, i * 80.0, j * 80.0, {}))
             k += 1
     w = 100
-    for j in range(3):  # horizontal streets
-        ways.append((w, [nid[(0, j)], nid[(1, j)], nid[(2, j)]],
+    for j in range(n):  # horizontal streets
+        ways.append((w, [nid[(i, j)] for i in range(n)],
                      {"highway": "residential", "name": f"H{j} St"}))
         w += 1
-    for i in range(3):  # vertical streets
-        ways.append((w, [nid[(i, 0)], nid[(i, 1)], nid[(i, 2)]],
+    for i in range(n):  # vertical streets
+        ways.append((w, [nid[(i, j)] for j in range(n)],
                      {"highway": "residential", "name": f"V{i} Ave"}))
         w += 1
     return nodes, ways, []
+
+
+def topo_grid_3x3():
+    return topo_grid(3)
 
 
 def topo_t_junction():
@@ -246,17 +252,18 @@ def topo_light_rail():
 
 
 def topo_dense_cell(n_seg: int = 60):
-    # many short segments radiating in one small cell — skew driver
-    nodes, ways = [], []
-    nid, wid = 1, 100
+    """Starburst: n_seg spokes sharing one hub node — a single junction
+    of degree n_seg in one cell. This is the skew driver: one T6 group
+    carries n_seg incident roads while its neighbors carry 3-4."""
+    nodes = [(1, 0.0, 0.0, {})]
+    ways = []
+    nid, wid = 2, 100
     for s in range(n_seg):
         ang = 2 * math.pi * s / n_seg
-        r0 = 10.0 + (s % 5) * 6.0
-        r1 = r0 + 25.0
-        nodes.append((nid, r0 * math.cos(ang), r0 * math.sin(ang), {}))
-        nodes.append((nid + 1, r1 * math.cos(ang), r1 * math.sin(ang), {}))
-        ways.append((wid, [nid, nid + 1], {"highway": "service"}))
-        nid += 2
+        r1 = 40.0 + (s % 5) * 6.0
+        nodes.append((nid, r1 * math.cos(ang), r1 * math.sin(ang), {}))
+        ways.append((wid, [1, nid], {"highway": "service"}))
+        nid += 1
         wid += 1
     return nodes, ways, []
 
@@ -304,6 +311,16 @@ def topo_restricted_via_way():
                     ("to", "way", 102)],
              {"type": "restriction", "restriction": "no_u_turn"})]
     return nodes, ways, rels
+
+
+# heavy topologies for the scaling corpus (sf_scale) — sized like real
+# clipped OSM extracts (tens of ways, dozens of junctions per doc)
+HEAVY_TOPOLOGIES = [
+    ("hgrid_7x7", lambda: topo_grid(7)),
+    ("hdense_120", lambda: topo_dense_cell(120)),
+    ("hgrid_6x6", lambda: topo_grid(6)),
+    ("hdense_90", lambda: topo_dense_cell(90)),
+]
 
 
 # NOTE: append-only list — doc_id = f"{name}:{idx}" with idx % len(...)
@@ -354,9 +371,10 @@ def _slippy_tile(lon: float, lat: float, z: int):
     return x, y
 
 
-def build_document(doc_idx: int, seed: int = 42):
+def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
     """Build one document + its ground-truth rows. Fully deterministic."""
-    name, builder = TOPOLOGIES[doc_idx % len(TOPOLOGIES)]
+    topos = HEAVY_TOPOLOGIES if heavy else TOPOLOGIES
+    name, builder = topos[doc_idx % len(topos)]
     doc_id = f"{name}:{doc_idx}"
     rng = random.Random(f"{seed}:{doc_idx}")
 
@@ -441,10 +459,10 @@ MEMBER_TYPE = pa.list_(pa.struct([
 ]))
 
 
-def generate(n_docs: int, seed: int = 42):
+def generate(n_docs: int, seed: int = 42, heavy: bool = False):
     docs, nodes, ways, rels = [], [], [], []
     for i in range(n_docs):
-        d, n, w, r = build_document(i, seed)
+        d, n, w, r = build_document(i, seed, heavy)
         docs.append(d)
         nodes.extend(n)
         ways.extend(w)
@@ -464,7 +482,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         shutil.rmtree(out_dir)
     n_docs = SF_DOCS.get(sf_name, 19)
     os.makedirs(out_dir, exist_ok=True)
-    docs, nodes, ways, rels = generate(n_docs)
+    docs, nodes, ways, rels = generate(n_docs, heavy=(sf_name == "sf_scale"))
 
     doc_table = pa.table({
         "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
