@@ -160,8 +160,33 @@ def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         rows: list[tuple] = []
-        for _, g in pdf.groupby(["doc_id", "i_id"], sort=False):
-            rows.extend(_t6_rows(g, trims_only))
+        # fast path: degree-1 junctions (termini — typically the majority
+        # of junction groups) skip the full kernel: trim 0, square end
+        # polygon, no movements (terminus.rs:8-64). Routed here instead
+        # of pandas-group dispatch, which dominated the stage cost.
+        counts = pdf.groupby(["doc_id", "i_id"], sort=False)["road_id"] \
+                    .transform("size")
+        singles = pdf[counts == 1]
+        multi = pdf[counts > 1]
+        for row in singles.itertuples(index=False):
+            if trims_only:
+                rows.append((row.doc_id, int(row.i_id), int(row.road_id),
+                             bool(row.is_src_end), 0.0, None, None, None))
+                continue
+            xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
+            if not bool(row.is_src_end):
+                xy = xy[::-1]
+            w = max(float(row.total_width), 1.0)
+            ring = intersection_polygon(
+                [{"key": (int(row.road_id), bool(row.is_src_end)),
+                  "xy": xy, "width": w}], {})
+            kind = "Terminus" if bool(row.driveable) else "Connection"
+            rows.append((row.doc_id, int(row.i_id), int(row.road_id),
+                         bool(row.is_src_end), 0.0,
+                         ring.ravel().tolist(), kind, "[]"))
+        if len(multi):
+            for _, g in multi.groupby(["doc_id", "i_id"], sort=False):
+                rows.extend(_t6_rows(g, trims_only))
         yield pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
 
     return road_ends.repartition(n, "doc_id", "i_id").mapInPandas(
@@ -250,16 +275,19 @@ def _rebuild_center(xy: pd.Series, trim_start: pd.Series,
 
 def apply_trims(roads: DataFrame, trims: DataFrame) -> DataFrame:
     """Each road takes trim_start from its src-end group and trim_end
-    from its dst-end group (two independent joins — mirrors the
-    reference where each intersection trims its own end)."""
-    t_src = trims.where("is_src_end").select(
-        "doc_id", "road_id", F.col("trim").alias("trim_start"))
-    t_dst = trims.where(~F.col("is_src_end")).select(
-        "doc_id", "road_id", F.col("trim").alias("trim_end"))
+    from its dst-end group (two independent groups, mirroring the
+    reference's per-intersection trimming). Physically: pivot the two
+    ends into one row per road FIRST so the trims subtree is consumed
+    exactly once — referencing it twice (src join + dst join) would
+    re-execute the whole T6 stage twice (no subtree reuse past the
+    exchange)."""
+    t = trims.groupBy("doc_id", "road_id").agg(
+        F.max(F.when(F.col("is_src_end"), F.col("trim"))).alias("trim_start"),
+        F.max(F.when(~F.col("is_src_end"), F.col("trim"))).alias("trim_end"),
+    )
     roads = roads.drop("too_short", "center_xy", "trimmed_length",
                        "trim_start", "trim_end")
-    r = roads.join(t_src, ["doc_id", "road_id"], "left") \
-             .join(t_dst, ["doc_id", "road_id"], "left") \
+    r = roads.join(t, ["doc_id", "road_id"], "left") \
              .fillna({"trim_start": 0.0, "trim_end": 0.0})
     r = r.withColumn(
         "_c", _rebuild_center("xy", "trim_start", "trim_end")

@@ -34,7 +34,19 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series) -> pd.DataFrame:
     for tj, side in zip(tags_json, driving_side):
         tags = json.loads(tj) if tj else {}
         specs = get_lane_specs_ltr(tags, driving_side=side or "right")
-        ow = oneway_for_driving(specs)
+        # routing direction comes from the oneway TAG: a default 1-lane
+        # service road renders one forward lane but remains two-way for
+        # movements (lane-dir-derived onewayness would wrongly close it)
+        ow_tag = tags.get("oneway", "")
+        if ow_tag == "yes":
+            ow = "forward"
+        elif ow_tag == "-1":
+            ow = "backward"
+        else:
+            ow = oneway_for_driving(specs)
+            n_driving = sum(1 for s in specs if s.lt == DRIVING)
+            if n_driving == 1:
+                ow = None  # single untagged lane: bidirectional
         out["lane_specs_json"].append(
             json.dumps([s.as_dict() for s in specs], separators=(",", ":"))
         )

@@ -108,8 +108,11 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                 "trim_start", "trim_end", "center_xy", "trimmed_length")
         roads = run_transforms(roads, cfg.zip_sidepaths).persist()
     ends = build_road_ends(roads, restr_by_i, cfg.driving_side)
+    # pass-2 trims feed both the road rebuild and the intersections
+    # table; roads_final feeds the render and the live-intersection
+    # semi-join — persist both to keep every UDF stage single-execution
     trims = run_t6(ends).persist()
-    roads_final = apply_trims(roads, trims)
+    roads_final = apply_trims(roads, trims).persist()
 
     # intersections surviving the transforms = endpoints of final roads
     live_is = roads_final.select(
