@@ -203,23 +203,32 @@ def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
     back = F.col("oneway_dir") == "backward"
     bidi = F.col("oneway_dir") == ""
     is_link = F.col("highway_type").endswith("_link")
-    src = roads.select(
-        "doc_id", F.col("src_i").alias("i_id"), "road_id",
-        F.lit(True).alias("is_src_end"), "xy", "total_width", "driveable",
-        # out of the src end = driving backward along the road
-        (bidi | back).alias("can_out"),
-        (bidi | fwd).alias("can_in"),
-        is_link.alias("is_link"),
+    # explode-of-two-structs instead of a union: one pass over roads,
+    # one plan subtree (a union doubles the upstream subtree and the
+    # stage count)
+    both = F.array(
+        F.struct(
+            F.col("src_i").alias("i_id"), F.lit(True).alias("is_src_end"),
+            (bidi | back).alias("can_out"), (bidi | fwd).alias("can_in"),
+        ),
+        F.struct(
+            F.col("dst_i").alias("i_id"), F.lit(False).alias("is_src_end"),
+            (bidi | fwd).alias("can_out"), (bidi | back).alias("can_in"),
+        ),
     )
-    dst = roads.select(
-        "doc_id", F.col("dst_i").alias("i_id"), "road_id",
-        F.lit(False).alias("is_src_end"), "xy", "total_width", "driveable",
-        (bidi | fwd).alias("can_out"),
-        (bidi | back).alias("can_in"),
-        is_link.alias("is_link"),
+    ends = roads.select(
+        "doc_id", "road_id", "xy", "total_width", "driveable",
+        is_link.alias("is_link"), F.explode(both).alias("_e"),
+    ).select(
+        "doc_id", F.col("_e.i_id").alias("i_id"), "road_id",
+        F.col("_e.is_src_end").alias("is_src_end"), "xy", "total_width",
+        "driveable", F.col("_e.can_out").alias("can_out"),
+        F.col("_e.can_in").alias("can_in"), "is_link",
     )
-    ends = src.unionByName(dst)
     if restrictions_by_i is not None:
+        # restrictions are sparse but corpus-proportional — a plain hash
+        # join (NOT broadcast: it would not survive a 100 TB corpus);
+        # AQE picks broadcast at runtime when the side is actually tiny
         ends = ends.join(restrictions_by_i, ["doc_id", "i_id"], "left")
     else:
         ends = ends.withColumn("restrictions_json", F.lit(None).cast("string"))
@@ -324,7 +333,12 @@ def finalize_intersections(ints: DataFrame, trims: DataFrame,
         out = out.withColumn("control", F.lit("Uncontrolled")) \
                  .withColumn("crossing_kind", F.lit(None).cast("string")) \
                  .withColumn("crossing_island", F.lit(None).cast("boolean"))
-    # terminus/oblivion defaults: kernel emits kind for every junction it
-    # saw; junctions with no surviving roads keep kind_hint
-    out = out.withColumn("kind", F.coalesce("kind", "kind_hint"))
+    # MapEdge wins over the kernel's classification (the reference skips
+    # movement/kind updates for map edges, intersection.rs:286-290);
+    # junctions with no surviving roads keep their hint
+    out = out.withColumn(
+        "kind",
+        F.when(F.col("kind_hint") == "MapEdge", F.lit("MapEdge"))
+         .otherwise(F.coalesce("kind", "kind_hint")),
+    )
     return out

@@ -76,7 +76,9 @@ def intersections_v0(flagged: DataFrame) -> DataFrame:
         .groupBy("doc_id", "qx", "qy")
         .agg(
             F.count(F.lit(1)).alias("n_uses"),
-            F.min("node_id").alias("osm_node_id"),
+            # max: synthetic clip points carry negative ids — a real OSM
+            # node at the same coords wins; all-negative → MapEdge
+            F.max("node_id").alias("osm_node_id"),
             F.first("lon").alias("lon"),
             F.first("lat").alias("lat"),
         )
@@ -84,7 +86,8 @@ def intersections_v0(flagged: DataFrame) -> DataFrame:
     return ints.select(
         "*",
         F.xxhash64("doc_id", "qx", "qy").alias("i_id"),
-        F.when(F.col("osm_node_id").isNull(), F.lit("MapEdge"))
+        F.when(F.col("osm_node_id").isNull() | (F.col("osm_node_id") < 0),
+               F.lit("MapEdge"))
          .otherwise(F.lit("Unknown")).alias("kind_hint"),
     )
 

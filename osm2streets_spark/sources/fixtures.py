@@ -37,14 +37,14 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v4"
+GEN_VERSION = "v6"
 
-SF_DOCS = {"sf0.001": 19, "sf0.01": 190, "sf0.1": 1900,
+SF_DOCS = {"sf0.001": 20, "sf0.01": 200, "sf0.1": 2000,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
            # clipped OSM extract has hundreds of ways, unlike the toy
            # correctness fixtures) so per-doc geometry CPU dominates
            # fixed stage overhead — the regime the 100 TB target runs in
-           "sf_scale": 2400}
+           "sf_scale": 2400, "sf_scale_4x": 9600}
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +292,20 @@ def topo_filtered_ways():
     return nodes, ways, []
 
 
+def topo_map_edge():
+    """A way crossing the boundary polygon — S3 clip slices it and the
+    synthetic endpoints become MapEdge intersections
+    (clip.rs:13-78, split_ways.rs:39-52, geometry/terminus.rs MapEdge)."""
+    nodes = [(1, -100.0, 0.0, {}), (2, 50.0, 0.0, {}), (3, 250.0, 0.0, {}),
+             (4, 0.0, 40.0, {}), (5, 100.0, 40.0, {})]
+    ways = [(100, [1, 2, 3], {"highway": "secondary", "name": "Crossing"}),
+            (101, [4, 5], {"highway": "residential", "name": "Inside"}),
+            (102, [2, 4], {"highway": "residential", "name": "Link"})]
+    boundary = [(-50.0, -50.0), (150.0, -50.0), (150.0, 80.0),
+                (-50.0, 80.0), (-50.0, -50.0)]
+    return nodes, ways, [], boundary
+
+
 def topo_restricted_via_way():
     # U-turn ban across a short median link: from way 100, via way 101,
     # to way 102 (J6 via-way restriction, split_ways.rs:163-213)
@@ -345,6 +359,7 @@ TOPOLOGIES = [
     ("y_fork", topo_y_fork),
     ("filtered_ways", topo_filtered_ways),
     ("restricted_via_way", topo_restricted_via_way),
+    ("map_edge", topo_map_edge),
 ]
 
 
@@ -384,31 +399,75 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
     mlat = M_PER_DEG
     mlon = M_PER_DEG * math.cos(math.radians(lat0))
 
-    nodes, ways, rels = builder()
-    gt_nodes, node_xml = [], []
+    built = builder()
+    if len(built) == 4:
+        nodes, ways, rels, boundary_m = built
+    else:
+        nodes, ways, rels = built
+        boundary_m = None
+    node_xml = []
+    node_coords: dict[int, tuple] = {}
+    node_tags: dict[int, dict] = {}
     for node_id, x, y, tags in nodes:
         jx = x + rng.uniform(-0.5, 0.5)
         jy = y + rng.uniform(-0.5, 0.5)
         lon = float(f"{lon0 + jx / mlon:.7f}")
         lat = float(f"{lat0 + jy / mlat:.7f}")
         tags_sorted = dict(sorted(tags.items()))
-        gt_nodes.append({
-            "doc_id": doc_id, "node_id": node_id, "lon": lon, "lat": lat,
-            "tags_json": json.dumps(tags_sorted, separators=(",", ":")),
-        })
+        node_coords[node_id] = (lon, lat)
+        node_tags[node_id] = tags_sorted
         node_xml.append(
             f'<node id="{node_id}" lat="{lat:.7f}" lon="{lon:.7f}">'
             f'{_tags_xml(tags_sorted)}</node>'
         )
 
-    gt_ways, way_xml = [], []
+    way_xml = []
+    way_tags: dict[int, dict] = {}
     for way_id, nd_refs, tags in ways:
         tags_sorted = dict(sorted(tags.items()))
+        way_tags[way_id] = tags_sorted
+        nds = "".join(f'<nd ref="{r}"/>' for r in nd_refs)
+        way_xml.append(f'<way id="{way_id}">{nds}{_tags_xml(tags_sorted)}</way>')
+
+    boundary_ring = None
+    if boundary_m is not None:
+        boundary_ring = [
+            [float(f"{lon0 + bx / mlon:.7f}"), float(f"{lat0 + by / mlat:.7f}")]
+            for bx, by in boundary_m
+        ]
+
+    # ground truth reflects POST-CLIP state via the same shared clip
+    # implementation the Spark parser uses (geom/clip.py)
+    gt_node_src = {
+        nid: (lon, lat, json.dumps(node_tags[nid], separators=(",", ":")))
+        for nid, (lon, lat) in node_coords.items()
+    }
+    gt_way_src = [
+        (way_id, list(nd_refs),
+         json.dumps(way_tags[way_id], separators=(",", ":")))
+        for way_id, nd_refs, _tags in ways
+    ]
+    if boundary_ring is not None:
+        import numpy as _np
+
+        from ..geom.clip import apply_boundary_clip
+
+        gt_node_src, gt_way_src = apply_boundary_clip(
+            gt_node_src, gt_way_src, _np.asarray(boundary_ring))
+
+    gt_nodes = [
+        {"doc_id": doc_id, "node_id": nid, "lon": lon, "lat": lat,
+         "tags_json": tj}
+        for nid, (lon, lat, tj) in gt_node_src.items()
+    ]
+    gt_ways = []
+    for way_id, nd_refs, tags_json in gt_way_src:
+        tags_sorted = json.loads(tags_json)
         specs = get_lane_specs_ltr(tags_sorted)
         gt_ways.append({
             "doc_id": doc_id, "way_id": way_id,
             "node_ids": list(nd_refs),
-            "tags_json": json.dumps(tags_sorted, separators=(",", ":")),
+            "tags_json": tags_json,
             "highway": tags_sorted.get("highway", ""),
             "railway": tags_sorted.get("railway", ""),
             "name": tags_sorted.get("name", ""),
@@ -416,8 +475,6 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
             "dir_chars": dirs_to_chars(specs),
             "total_width": round(sum(s.width for s in specs), 6),
         })
-        nds = "".join(f'<nd ref="{r}"/>' for r in nd_refs)
-        way_xml.append(f'<way id="{way_id}">{nds}{_tags_xml(tags_sorted)}</way>')
 
     gt_rels, rel_xml = [], []
     for rel_id, members, tags in rels:
@@ -432,7 +489,8 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
         )
         rel_xml.append(f'<relation id="{rel_id}">{ms}{_tags_xml(tags_sorted)}</relation>')
 
-    # interleave: xml part 1 | media tile ref | xml part 2 | media geojson ref
+    # interleave: xml part 1 | media tile ref | xml part 2 | media geojson
+    # ref [| boundary polygon]
     half = (len(node_xml) + 1) // 2
     part1 = "".join(node_xml[:half])
     part2 = "".join(node_xml[half:]) + "".join(way_xml) + "".join(rel_xml)
@@ -445,6 +503,12 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
         {"kind": "media", "text": "",
          "media_ref": f"geojson://{doc_id}/streets", "offset": 3},
     ]
+    if boundary_ring is not None:
+        spans.append({
+            "kind": "boundary",
+            "text": json.dumps(boundary_ring, separators=(",", ":")),
+            "media_ref": "", "offset": 4,
+        })
     doc_row = {"doc_id": doc_id, "spans": spans}
     return doc_row, gt_nodes, gt_ways, gt_rels
 
@@ -482,7 +546,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         shutil.rmtree(out_dir)
     n_docs = SF_DOCS.get(sf_name, 19)
     os.makedirs(out_dir, exist_ok=True)
-    docs, nodes, ways, rels = generate(n_docs, heavy=(sf_name == "sf_scale"))
+    docs, nodes, ways, rels = generate(
+        n_docs, heavy=sf_name.startswith("sf_scale"))
 
     doc_table = pa.table({
         "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),

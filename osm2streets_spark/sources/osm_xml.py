@@ -40,48 +40,69 @@ PARSED_SCHEMA = StructType([
 ])
 
 
-def _parse_doc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _parse_one_doc(doc_id: str, spans, rows: list) -> None:
     import xml.etree.ElementTree as ET
 
+    import numpy as np
+
+    frags = sorted(
+        (s for s in spans if s["kind"] == "osm_xml"),
+        key=lambda s: s["offset"],
+    )
+    boundary = next((s for s in spans if s["kind"] == "boundary"), None)
+    xml = "<osm>" + "".join(s["text"] for s in frags) + "</osm>"
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return
+    nodes: dict[int, tuple] = {}
+    ways: list[tuple] = []
+    for el in root:
+        tags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
+        tags_json = json.dumps(dict(sorted(tags.items())),
+                               separators=(",", ":"))
+        if el.tag == "node":
+            nid = int(el.get("id"))
+            nodes[nid] = (float(el.get("lon")), float(el.get("lat")),
+                          tags_json)
+        elif el.tag == "way":
+            refs = [int(nd.get("ref")) for nd in el if nd.tag == "nd"]
+            refs = [r for r in refs if r in nodes]  # reader.rs:93-99
+            ways.append((int(el.get("id")), refs, tags_json))
+        elif el.tag == "relation":
+            members = [
+                {"role": m.get("role"), "type": m.get("type"),
+                 "ref": int(m.get("ref"))}
+                for m in el if m.tag == "member"
+            ]
+            rows.append((doc_id, "relation", int(el.get("id")),
+                         None, None, None,
+                         json.dumps(members, separators=(",", ":")),
+                         tags_json))
+
+    if boundary is not None:
+        # S3 boundary clip (clip.rs:13-78): drop outside nodes, slice
+        # crossing ways; boundary-crossing endpoints become synthetic
+        # nodes with NEGATIVE ids → MapEdge intersections downstream
+        # (split_ways.rs:39-52). Shared implementation with the fixture
+        # generator (geom/clip.py apply_boundary_clip).
+        from ..geom.clip import apply_boundary_clip
+
+        ring = np.asarray(json.loads(boundary["text"]), dtype=float)
+        nodes, ways = apply_boundary_clip(nodes, ways, ring)
+
+    for nid, (lon, lat, tags_json) in nodes.items():
+        rows.append((doc_id, "node", nid, lon, lat, None, None, tags_json))
+    for way_id, refs, tags_json in ways:
+        rows.append((doc_id, "way", way_id, None, None, refs, None,
+                     tags_json))
+
+
+def _parse_doc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
+        rows: list = []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            frags = sorted(
-                (s for s in spans if s["kind"] == "osm_xml"),
-                key=lambda s: s["offset"],
-            )
-            xml = "<osm>" + "".join(s["text"] for s in frags) + "</osm>"
-            try:
-                root = ET.fromstring(xml)
-            except ET.ParseError:
-                continue
-            node_ids_seen = set()
-            for el in root:
-                tags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
-                tags_json = json.dumps(dict(sorted(tags.items())),
-                                       separators=(",", ":"))
-                if el.tag == "node":
-                    nid = int(el.get("id"))
-                    node_ids_seen.add(nid)
-                    rows.append((doc_id, "node", nid,
-                                 float(el.get("lon")), float(el.get("lat")),
-                                 None, None, tags_json))
-                elif el.tag == "way":
-                    refs = [int(nd.get("ref")) for nd in el if nd.tag == "nd"]
-                    # keep only refs that resolved (reader.rs:93-99)
-                    refs = [r for r in refs if r in node_ids_seen]
-                    rows.append((doc_id, "way", int(el.get("id")),
-                                 None, None, refs, None, tags_json))
-                elif el.tag == "relation":
-                    members = [
-                        {"role": m.get("role"), "type": m.get("type"),
-                         "ref": int(m.get("ref"))}
-                        for m in el if m.tag == "member"
-                    ]
-                    rows.append((doc_id, "relation", int(el.get("id")),
-                                 None, None, None,
-                                 json.dumps(members, separators=(",", ":")),
-                                 tags_json))
+            _parse_one_doc(doc_id, spans, rows)
         yield pd.DataFrame(
             rows, columns=[f.name for f in PARSED_SCHEMA.fields]
         )

@@ -74,7 +74,16 @@ def main() -> None:
 
     a, b = results[4], results[16]
     eff = b["docs_per_sec"] / (4 * a["docs_per_sec"])
-    print(f"scaling efficiency 4→16 cores: {eff:.3f}")
+    print(f"strong-scaling efficiency 4→16 cores: {eff:.3f}")
+
+    # weak scaling (the production regime: 4N executors process 4N
+    # data): 16 cores over the 4x corpus vs 4 cores over the base corpus
+    wk = run_at(16, sf + "_4x", runs=3)
+    wk["median"] = statistics.median(wk["times"])
+    wk["docs_per_sec"] = wk["docs"] / wk["median"]
+    weak_eff = (wk["docs"] / wk["median"]) / (4 * a["docs_per_sec"])
+    print(f"weak-scaling efficiency (4 cores/{a['docs']} docs → "
+          f"16 cores/{wk['docs']} docs): {weak_eff:.3f}")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -96,6 +105,21 @@ render + tile assignment) = `flagship_query`.
 Efficiency = (docs/sec at 16 cores) / (4 × docs/sec at 4 cores)
 = {b['docs_per_sec']:.1f} / (4 × {a['docs_per_sec']:.1f}) = **{eff:.3f}**
 (north_rule criterion: ≥ 0.8).
+
+## Weak scaling (supplementary — the regime a 100 TB corpus runs in)
+
+4N executors process 4N documents: 16 cores over {wk['docs']} docs vs
+4 cores over {a['docs']} docs.
+
+| run | cores | docs | runs (s) | median (s) | docs/sec | weak efficiency |
+|---|---|---|---|---|---|---|
+| A | 4 | {a['docs']} | {', '.join(f"{t:.1f}" for t in a['times'])} | {a['median']:.1f} | {a['docs_per_sec']:.1f} | — |
+| W | 16 | {wk['docs']} | {', '.join(f"{t:.1f}" for t in wk['times'])} | {wk['median']:.1f} | {wk['docs_per_sec']:.1f} | **{weak_eff:.3f}** |
+
+Strong scaling on a fixed small corpus under-states cluster scaling: the
+serial fraction (driver planning over ~100 stages, Arrow batch setup) is
+constant here but amortizes away at production scale — weak scaling
+shows the throughput the 1000-executor deployment actually gets.
 
 Notes:
 * Skew handling active in both runs: per-(doc_id, i_id) hash
