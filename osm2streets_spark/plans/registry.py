@@ -415,6 +415,12 @@ def queries() -> Q:
             _net_roads(s, d)),
     })
 
+    def g_blocks(spark, sf_dir):
+        from ..operators.blocks_op import extract_blocks
+        return extract_blocks(_net_roads(spark, sf_dir))
+
+    q["g_blocks"] = g_blocks
+
     # ---- training-data ops over the driver's tables --------------------
     def _driver_docs(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
