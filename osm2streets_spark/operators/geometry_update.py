@@ -49,14 +49,22 @@ XY_SCHEMA = ArrayType(DoubleType())
 
 
 def _project_udf_factory():
+    from ..geom.core import shift_polyline
+
     @F.pandas_udf(XY_SCHEMA)
     def project_and_simplify(pts: pd.Series, lon0: pd.Series,
-                             lat0: pd.Series) -> pd.Series:
+                             lat0: pd.Series,
+                             shift: pd.Series) -> pd.Series:
         out = []
-        for p, lo, la in zip(pts, lon0, lat0):
+        for p, lo, la, sh in zip(pts, lon0, lat0, shift):
             arr = np.array([[q["lon"], q["lat"]] for q in p])
             xy = lonlat_to_xy(arr, lo, la)
             xy = simplify_rdp(xy, 0.5)
+            sh = float(sh or 0.0)
+            if abs(sh) > 1e-9:
+                # K3/K6: the mapped way sits at the tagged placement;
+                # shift to the full-width center (road.rs:166-193)
+                xy = shift_polyline(xy, sh)
             out.append(xy.ravel().tolist())
         return pd.Series(out)
     return project_and_simplify
@@ -64,12 +72,14 @@ def _project_udf_factory():
 
 def with_projected_geometry(roads: DataFrame, anchors: DataFrame) -> DataFrame:
     """Join per-doc projection anchors (min corner of the doc bbox) and
-    compute the meters-plane reference line."""
+    compute the meters-plane reference line (placement-corrected)."""
     udf = _project_udf_factory()
     r = roads.join(anchors.select(
         "doc_id", F.col("min_lon").alias("lon0"), F.col("min_lat").alias("lat0")
     ), "doc_id")
-    return r.withColumn("xy", udf("pts", "lon0", "lat0"))
+    if "placement_shift" not in r.columns:
+        r = r.withColumn("placement_shift", F.lit(0.0))
+    return r.withColumn("xy", udf("pts", "lon0", "lat0", "placement_shift"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from pyspark.sql.types import (
 
 from ..lanes import get_lane_specs_ltr, lanes_to_chars, dirs_to_chars
 from ..lanes.inference import oneway_for_driving, DRIVING
+from ..lanes.placement import placement_shift
 
 LANE_RESULT = StructType([
     StructField("lane_specs_json", StringType()),
@@ -26,6 +27,7 @@ LANE_RESULT = StructType([
     StructField("total_width", DoubleType()),
     StructField("driveable", BooleanType()),
     StructField("oneway_dir", StringType()),  # 'forward'|'backward'|'' (bidi)
+    StructField("placement_shift", DoubleType()),  # K3/K5 (road.rs:166-193)
 ])
 
 
@@ -56,6 +58,8 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series) -> pd.DataFrame:
         out["total_width"].append(round(sum(s.width for s in specs), 6))
         out["driveable"].append(any(s.lt == DRIVING for s in specs))
         out["oneway_dir"].append(ow or "")
+        out["placement_shift"].append(
+            round(placement_shift(tags, specs, side or "right"), 6))
     return pd.DataFrame(out)
 
 

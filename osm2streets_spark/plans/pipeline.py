@@ -65,6 +65,7 @@ def graph_stage(nodes: DataFrame, ways: DataFrame, cfg: MapConfig = DEFAULT_CONF
         "doc_id", "way_id", "tags_json", "highway_type", "name", "layer",
         "speed_kph", "oneway", "internal_junction_road", "lane_specs_json",
         "lane_chars", "dir_chars", "total_width", "driveable", "oneway_dir",
+        "placement_shift",
     )
     roads = roads_v0.join(way_attrs, ["doc_id", "way_id"])
     return roads, ints_v0, flagged
