@@ -156,6 +156,30 @@ def token_stats_oracle_sql(doc_table: str) -> str:
     """
 
 
+def vocab_counts_salted(docs: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Corpus vocabulary counts with EXPLICIT key salting (north_rule):
+    token frequencies are Zipf-skewed — 'the' lands on one reducer at
+    10^12 docs. Two-level aggregation: partial counts on (token, salt)
+    — salt derived from doc_id so the hot key spreads over n_salts
+    reducers — then final sum on token. Result is exactly the unsalted
+    count (oracle: plain GROUP BY in DuckDB)."""
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"),
+    ).where(F.col("token") != "")
+    partial = toks.groupBy("token", "salt").agg(
+        F.count(F.lit(1)).alias("_n"))
+    return partial.groupBy("token").agg(F.sum("_n").alias("n_occurrences"))
+
+
+def vocab_counts_oracle_sql(doc_table: str) -> str:
+    return f"""
+      select t as token, count(*) as n_occurrences
+      from (select unnest(string_split(text, ' ')) as t from {doc_table})
+      where t != '' group by 1
+    """
+
+
 # --- fingerprinting: MOD-sampled k-gram polynomial hashes ---------------
 # (winnowing-family document fingerprint; hash is a base-31 polynomial
 #  over character codes mod 2^31-1, identical arithmetic in Spark SQL

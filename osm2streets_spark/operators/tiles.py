@@ -59,22 +59,38 @@ def quadkey(df: DataFrame) -> DataFrame:
 def adaptive_cells(df: DataFrame, lon_col: str, lat_col: str,
                    base_zoom: int = 16, threshold: int = 512,
                    max_zoom: int = 20) -> DataFrame:
-    """Assign every row a cell at base_zoom, then repeatedly push rows in
-    over-threshold cells one zoom deeper. Bounded loop (max_zoom -
-    base_zoom rounds), each round one aggregation + join — the
-    'adaptive H3 resolution splitting' of the north_star expressed
-    relationally."""
-    out = with_tile(df, lon_col, lat_col, base_zoom)
-    z = base_zoom
-    done = None
-    while z < max_zoom:
-        counts = out.groupBy("tile_z", "tile_x", "tile_y") \
-                    .agg(F.count(F.lit(1)).alias("_n"))
-        out = out.join(counts, ["tile_z", "tile_x", "tile_y"], "left")
-        small = out.where(F.col("_n") <= threshold).drop("_n")
-        big = out.where(F.col("_n") > threshold).drop("_n")
-        done = small if done is None else done.unionByName(small)
-        z += 1
-        big = big.drop("tile_z", "tile_x", "tile_y")
-        out = with_tile(big, lon_col, lat_col, z)
-    return done.unionByName(out) if done is not None else out
+    """'Adaptive H3 resolution splitting' of the north_star, expressed
+    as a SINGLE relational pass: each row's candidate cells at every
+    zoom in [base_zoom, max_zoom] are counted at once; the row takes
+    the shallowest zoom whose cell is under the threshold (children of
+    a dense cell share its parent, so global per-zoom counts equal the
+    iterative refine-dense-cells-only counts). One explode + one agg +
+    one join — no iterative plan growth, no N-round shuffles."""
+    zooms = list(range(base_zoom, max_zoom + 1))
+    cand = df
+    for z in zooms:
+        x, y = tile_xy(F.col(lon_col), F.col(lat_col), z)
+        cand = cand.withColumn(f"_x{z}", x).withColumn(f"_y{z}", y)
+    tall = cand.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(F.lit(z).alias("tile_z"),
+                     F.col(f"_x{z}").alias("tile_x"),
+                     F.col(f"_y{z}").alias("tile_y"))
+            for z in zooms
+        ])).alias("_cell"),
+    ).select("*", "_cell.tile_z", "_cell.tile_x", "_cell.tile_y") \
+     .drop("_cell", *[c for z in zooms for c in (f"_x{z}", f"_y{z}")])
+    counts = tall.groupBy("tile_z", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("_n"))
+    joined = tall.join(counts, ["tile_z", "tile_x", "tile_y"])
+    ok = joined.where((F.col("_n") <= threshold)
+                      | (F.col("tile_z") == max_zoom))
+    from pyspark.sql import Window
+    key_cols = [c for c in df.columns]
+    w = Window.partitionBy(*key_cols).orderBy("tile_z")
+    return (
+        ok.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_n")
+    )

@@ -435,6 +435,8 @@ def queries() -> Q:
         "ta_quality": lambda s, d: text_analysis.quality_score(_driver_docs(s, d)),
         "ta_tokens": lambda s, d: text_analysis.token_stats(_driver_docs(s, d)),
         "ta_fingerprint": lambda s, d: text_analysis.fingerprints(_driver_docs(s, d)),
+        "ta_vocab_salted": lambda s, d: text_analysis.vocab_counts_salted(
+            _driver_docs(s, d)),
     })
 
     def _emb(spark, sf_dir):
@@ -796,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
     o["ta_quality"] = text_analysis.quality_score_oracle_sql("documents")
     o["ta_tokens"] = text_analysis.token_stats_oracle_sql("documents")
     o["ta_fingerprint"] = text_analysis.fingerprints_oracle_sql("documents")
+    o["ta_vocab_salted"] = text_analysis.vocab_counts_oracle_sql("documents")
     o["sim_cosine_pairs"] = similarity.cosine_pairs_oracle_sql("embeddings")
     o["sim_ann_topk"] = similarity.ann_topk_oracle_sql("embeddings")
     o["ev_window"] = """

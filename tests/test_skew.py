@@ -33,3 +33,21 @@ def test_starburst_roads_render(dense_net):
     assert feats.where(F.col("feature_type") == "road").count() == 60
     # every feature lands in exactly one tile cell
     assert feats.where(F.col("quadkey").isNull()).count() == 0
+
+
+def test_adaptive_cell_split(dense_net):
+    """north_rule adaptive resolution: the starburst's ~121 features all
+    land in one-ish z16 cell; with threshold 16 the dense cells must be
+    re-assigned at deeper zooms while sparse cells stay at base."""
+    from osm2streets_spark.operators.tiles import adaptive_cells
+
+    feats = dense_net["features"].select("doc_id", "feature_id",
+                                         "c_lon", "c_lat")
+    out = adaptive_cells(feats, "c_lon", "c_lat", base_zoom=16,
+                         threshold=16, max_zoom=20)
+    assert out.count() == feats.count()  # nothing lost
+    zooms = {r.tile_z for r in out.select("tile_z").distinct().collect()}
+    assert max(zooms) > 16  # dense cells split deeper
+    counts = out.groupBy("tile_z", "tile_x", "tile_y").count().collect()
+    over = [c for c in counts if c["count"] > 16 and c.tile_z < 20]
+    assert over == []  # every non-max-zoom cell is under threshold
