@@ -9,8 +9,8 @@ i_id), then restriction×roads twice (from / to side), each constrained
 to roads incident to the via intersection. All equi-joins on
 (doc_id, key); the restrictions side is tiny → broadcast.
 
-Via-way restrictions (J6, split_ways.rs:163-213) are rarer; TODO for a
-later round.
+Via-way restrictions (J6, split_ways.rs:163-213) are resolved by
+``resolve_via_way_restrictions`` below.
 """
 
 from __future__ import annotations
