@@ -99,6 +99,9 @@ TRIM_SCHEMA = StructType([
 
 
 def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
+    # deterministic input order: angle-sort ties and movement ordering
+    # must not depend on Arrow batch arrival order
+    pdf = pdf.sort_values(["road_id", "is_src_end"])
     doc_id = pdf["doc_id"].iloc[0]
     i_id = int(pdf["i_id"].iloc[0])
     driving_side = pdf["driving_side"].iloc[0]

@@ -307,6 +307,9 @@ TRANSFORM_SCHEMA = StructType(
 
 def _transform_doc(doc_id: str, pdf: pd.DataFrame,
                    with_sidepath_zip: bool = False) -> pd.DataFrame:
+    # Arrow batch row order is nondeterministic; kernels must not depend
+    # on it (e.g. T2 keeps the FIRST road's id) — sort by road_id first
+    pdf = pdf.sort_values("road_id")
     roads = pdf.to_dict("records")
     for r in roads:
         r["xy"] = list(r["xy"])
