@@ -421,6 +421,13 @@ def queries() -> Q:
 
     q["g_blocks"] = g_blocks
 
+    def s_multipolygons(spark, sf_dir):
+        from ..operators.multipolygon import assemble_multipolygons
+        nodes, ways, relations = _parsed(spark, sf_dir)
+        return assemble_multipolygons(relations, ways, nodes)
+
+    q["s_multipolygons"] = s_multipolygons
+
     # ---- training-data ops over the driver's tables --------------------
     def _driver_docs(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")

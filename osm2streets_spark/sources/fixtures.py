@@ -37,9 +37,9 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v6"
+GEN_VERSION = "v7"
 
-SF_DOCS = {"sf0.001": 20, "sf0.01": 200, "sf0.1": 2000,
+SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
            # clipped OSM extract has hundreds of ways, unlike the toy
            # correctness fixtures) so per-doc geometry CPU dominates
@@ -306,6 +306,24 @@ def topo_map_edge():
     return nodes, ways, [], boundary
 
 
+def topo_landuse_multipolygon():
+    """S4: a multipolygon relation (two outer way halves + an inner
+    hole) alongside a road (osm_reader/multipolygon.rs:11-60)."""
+    nodes = [(1, 0.0, 0.0, {}), (2, 120.0, 0.0, {}), (3, 120.0, 120.0, {}),
+             (4, 0.0, 120.0, {}),
+             (5, 40.0, 40.0, {}), (6, 80.0, 40.0, {}), (7, 80.0, 80.0, {}),
+             (8, 40.0, 80.0, {}),
+             (9, -40.0, -40.0, {}), (10, 160.0, -40.0, {})]
+    ways = [(100, [1, 2, 3], {}),            # outer half 1 (untagged)
+            (101, [3, 4, 1], {}),            # outer half 2
+            (102, [5, 6, 7, 8, 5], {}),      # inner hole ring
+            (103, [9, 10], {"highway": "residential", "name": "Edge Rd"})]
+    rels = [(1000, [("outer", "way", 100), ("outer", "way", 101),
+                    ("inner", "way", 102)],
+             {"type": "multipolygon", "landuse": "park"})]
+    return nodes, ways, rels
+
+
 def topo_restricted_via_way():
     # U-turn ban across a short median link: from way 100, via way 101,
     # to way 102 (J6 via-way restriction, split_ways.rs:163-213)
@@ -360,6 +378,7 @@ TOPOLOGIES = [
     ("filtered_ways", topo_filtered_ways),
     ("restricted_via_way", topo_restricted_via_way),
     ("map_edge", topo_map_edge),
+    ("landuse_multipolygon", topo_landuse_multipolygon),
 ]
 
 
