@@ -52,3 +52,71 @@ def extract_blocks(roads: DataFrame) -> DataFrame:
         yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     return src.repartition(n, "doc_id").mapInPandas(batched, BLOCK_SCHEMA)
+
+
+def assign_features_to_blocks(features: DataFrame, blocks: DataFrame,
+                              anchors: DataFrame) -> DataFrame:
+    """J11: point-in-polygon spatial join (block.rs:55-69 — the
+    reference notes 'could cache an rtree'; our index is the quadkey
+    cell prefilter the north_star calls for).
+
+    Phase 1 (prefilter): explode each block over the z16 cells its bbox
+    covers; equi-join features on (doc_id, tile_x, tile_y) — a plain
+    hash join, no geometry.
+    Phase 2 (refine): ray-casting PIP on the candidates only, in one
+    Arrow-batched pandas pass.
+    """
+    import numpy as np
+
+    from ..geom.core import point_in_ring, lonlat_to_xy
+    from .tiles import tile_xy
+    from pyspark.sql.types import BooleanType
+
+    # block bbox in lon/lat (ring is in meters; convert via doc anchor)
+    b = blocks.join(
+        anchors.select("doc_id", F.col("min_lon").alias("lon0"),
+                       F.col("min_lat").alias("lat0")), "doc_id")
+
+    @F.pandas_udf("min_lon double, max_lon double, min_lat double, "
+                  "max_lat double")
+    def _bbox(ring_json: pd.Series, lon0: pd.Series,
+              lat0: pd.Series) -> pd.DataFrame:
+        from ..geom.core import xy_to_lonlat
+        rows = {"min_lon": [], "max_lon": [], "min_lat": [], "max_lat": []}
+        for rj, lo, la in zip(ring_json, lon0, lat0):
+            ring = np.asarray(json.loads(rj))
+            ll = xy_to_lonlat(ring, lo, la)
+            rows["min_lon"].append(float(ll[:, 0].min()))
+            rows["max_lon"].append(float(ll[:, 0].max()))
+            rows["min_lat"].append(float(ll[:, 1].min()))
+            rows["max_lat"].append(float(ll[:, 1].max()))
+        return pd.DataFrame(rows)
+
+    b = b.withColumn("_bb", _bbox("ring_json", "lon0", "lat0")) \
+         .select("*", "_bb.*").drop("_bb")
+    x0, y0 = tile_xy(F.col("min_lon"), F.col("max_lat"), 16)  # NW corner
+    x1, y1 = tile_xy(F.col("max_lon"), F.col("min_lat"), 16)  # SE corner
+    cells = b.select(
+        "doc_id", "block_id", "kind", "ring_json", "lon0", "lat0",
+        F.explode(F.sequence(x0, x1)).alias("tile_x"),
+        F.sequence(y0, y1).alias("_ys"),
+    ).select("doc_id", "block_id", "kind", "ring_json", "lon0", "lat0",
+             "tile_x", F.explode("_ys").alias("tile_y"))
+
+    cand = features.select(
+        "doc_id", "feature_type", "feature_id", "c_lon", "c_lat",
+        "tile_x", "tile_y",
+    ).join(cells, ["doc_id", "tile_x", "tile_y"])
+
+    @F.pandas_udf(BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, ring_json: pd.Series,
+             lon0: pd.Series, lat0: pd.Series) -> pd.Series:
+        out = []
+        for lo, la, rj, o_lo, o_la in zip(lon, lat, ring_json, lon0, lat0):
+            ring = np.asarray(json.loads(rj))
+            pt = lonlat_to_xy(np.array([[lo, la]]), o_lo, o_la)[0]
+            out.append(bool(point_in_ring(pt, ring)))
+        return pd.Series(out)
+
+    return cand.where(_pip("c_lon", "c_lat", "ring_json", "lon0", "lat0")) \
+        .select("doc_id", "feature_type", "feature_id", "block_id", "kind")

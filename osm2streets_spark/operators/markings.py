@@ -105,6 +105,49 @@ def _lane_markings(center_xy: pd.Series, total_width: pd.Series,
     return pd.Series(out)
 
 
+@F.pandas_udf(StringType())
+def _stop_line_feature(center_xy: pd.Series, total_width: pd.Series,
+                       pct_along: pd.Series, lon0: pd.Series,
+                       lat0: pd.Series) -> pd.Series:
+    """Perpendicular stop line across the roadway at the snapped
+    position (render/lane_markings.rs draw_stop_lines :192, perp_line
+    :390)."""
+    from ..geom.core import cumulative_lengths, interpolate_along
+
+    out = []
+    for raw, tw, pct, lo, la in zip(center_xy, total_width, pct_along,
+                                    lon0, lat0):
+        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+        total = polyline_length(pl)
+        d = max(0.0, min(float(pct), 1.0)) * total
+        pt = interpolate_along(pl, d)
+        cl = cumulative_lengths(pl)
+        i = min(int(np.searchsorted(cl, max(d, 1e-9))), len(pl) - 1)
+        t = pl[i] - pl[i - 1] if i > 0 else pl[1] - pl[0]
+        n = np.hypot(t[0], t[1]) or 1.0
+        perp = np.array([t[1], -t[0]]) / n
+        half = float(tw) / 2.0
+        seg = np.array([pt + perp * half, pt - perp * half])
+        out.append(_linestring_feature(seg, lo, la,
+                                       {"type": "stop line"}))
+    return pd.Series(out)
+
+
+def render_stop_lines(stop_lines: DataFrame, roads: DataFrame) -> DataFrame:
+    """stop_lines: output of features.road_stop_lines (road_id,
+    pct_along, feature kind); joined to road geometry → one LineString
+    feature per signal/crossing position."""
+    j = stop_lines.join(
+        roads.select("doc_id", "road_id", "center_xy", "total_width",
+                     "lon0", "lat0"),
+        ["doc_id", "road_id"])
+    return j.select(
+        "doc_id", "road_id", "node_id", "feature",
+        _stop_line_feature("center_xy", "total_width", "pct_along",
+                           "lon0", "lat0").alias("feature_json"),
+    )
+
+
 def render_lane_markings(roads: DataFrame) -> DataFrame:
     out = roads.withColumn(
         "_m", _lane_markings("center_xy", "total_width", "lane_specs_json",

@@ -428,6 +428,28 @@ def queries() -> Q:
 
     q["s_multipolygons"] = s_multipolygons
 
+    def s_stop_lines(spark, sf_dir):
+        from ..operators.markings import render_stop_lines
+        from ..sources.osm_xml import doc_bounds
+        from ..operators.geometry_update import with_projected_geometry
+        nodes, ways, _ = _parsed(spark, sf_dir)
+        fways = with_lanes(filter_ways(ways))
+        roads, _, flagged = build_network_v0(fways, nodes)
+        roads = roads.join(
+            fways.select("doc_id", "way_id", "total_width",
+                         "placement_shift"),
+            ["doc_id", "way_id"])
+        roads = with_projected_geometry(roads, doc_bounds(nodes))
+        interior = interior_point_road_map(flagged, roads)
+        snapped = snap_features_to_roads(node_features(nodes), interior)
+        sl = road_stop_lines(snapped, roads)
+        # untrimmed center for the marking position (render runs on the
+        # trimmed line in the full pipeline; equivalent here)
+        r = roads.withColumn("center_xy", F.col("xy"))
+        return render_stop_lines(sl, r)
+
+    q["s_stop_lines"] = s_stop_lines
+
     # ---- training-data ops over the driver's tables --------------------
     def _driver_docs(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")

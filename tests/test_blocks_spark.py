@@ -19,3 +19,36 @@ def test_grid_blocks(spark, fixture_dir):
         assert b.n_roads == 4
         assert b.kind == "LandUse"  # H* and V* names differ
         assert 5500 < b.area_m2 < 7500  # ~80m grid spacing, jittered
+
+
+def test_block_membership_pip(spark, fixture_dir):
+    """J11: the grid's center intersection lies in no block (it's a
+    corner of all four); features strictly inside a block are assigned
+    via the cell-prefilter + PIP-refine join."""
+    from osm2streets_spark.operators.blocks_op import (
+        assign_features_to_blocks,
+    )
+    from osm2streets_spark.sources.osm_xml import doc_bounds
+
+    docs = load_documents(spark, fixture_dir)
+    grid = docs.where(F.col("doc_id").startswith("grid_3x3"))
+    net = build_street_network(spark, grid)
+    roads = net["roads"].withColumn("length_m", F.col("trimmed_length"))
+    blocks = extract_blocks(roads)
+    anchors = doc_bounds(net["nodes"])
+    # synthetic probe features: one at a block center (inside), one far
+    # outside any block
+    doc = grid.select("doc_id").first().doc_id
+    a = anchors.where(F.col("doc_id") == doc).first()
+    probe = spark.createDataFrame(
+        [(doc, "probe", 1, a.min_lon + 40 / 95000.0,
+          a.min_lat + 40 / 111000.0),
+         (doc, "probe", 2, a.min_lon - 0.01, a.min_lat - 0.01)],
+        "doc_id string, feature_type string, feature_id long, "
+        "c_lon double, c_lat double")
+    from osm2streets_spark.operators.tiles import with_tile
+    probe = with_tile(probe, "c_lon", "c_lat", 16)
+    hits = assign_features_to_blocks(probe, blocks, anchors).collect()
+    ids = {h.feature_id for h in hits}
+    assert 1 in ids      # inside the SW block
+    assert 2 not in ids  # outside everything
