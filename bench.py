@@ -37,6 +37,13 @@ def main() -> None:
     spark = get_spark("osm2streets-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM JIT + python worker pool on the smallest corpus so
+    # the timed numbers measure the pipeline, not process spin-up; the
+    # timed run below starts from a cleared cache (full execution)
+    from osm2streets_spark.sources.fixtures import ensure_fixtures
+    flagship_query(spark, ensure_fixtures("sf0.001")).count()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
 
     def run(name, fn):
