@@ -95,6 +95,9 @@ TRIM_SCHEMA = StructType([
     StructField("polygon_xy", ArrayType(DoubleType())),
     StructField("kind", StringType()),
     StructField("movements_json", StringType()),
+    # S11/O1 debug surface: the road's clockwise position around the
+    # junction (render/mod.rs:156-274 ordering labels)
+    StructField("cw_index", LongType()),
 ])
 
 
@@ -141,16 +144,16 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
         movements, kind = movements_and_kind(roads_cw, driving_side)
 
     rows = []
-    first = True
-    for r in roads_cw:
+    for cw_idx, r in enumerate(roads_cw):
+        first = cw_idx == 0
         rows.append((
             doc_id, i_id, r["road_id"], r["is_src_end"],
             float(trims[r["key"]]),
             ring.ravel().tolist() if (first and ring is not None) else None,
             kind if first else None,
             json.dumps(movements) if (first and not trims_only) else None,
+            cw_idx,
         ))
-        first = False
     return rows
 
 
@@ -184,7 +187,7 @@ def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
         for row in singles.itertuples(index=False):
             if trims_only:
                 rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                             bool(row.is_src_end), 0.0, None, None, None))
+                             bool(row.is_src_end), 0.0, None, None, None, 0))
                 continue
             xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
             if not bool(row.is_src_end):
@@ -196,7 +199,7 @@ def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
             kind = "Terminus" if bool(row.driveable) else "Connection"
             rows.append((row.doc_id, int(row.i_id), int(row.road_id),
                          bool(row.is_src_end), 0.0,
-                         ring.ravel().tolist(), kind, "[]"))
+                         ring.ravel().tolist(), kind, "[]", 0))
         if len(multi):
             for _, g in multi.groupby(["doc_id", "i_id"], sort=False):
                 rows.extend(_t6_rows(g, trims_only))

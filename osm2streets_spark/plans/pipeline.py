@@ -140,6 +140,7 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
         "nodes": nodes, "ways": ways, "relations": relations,
         "roads": roads_final, "intersections": ints_final,
         "features": features, "output_documents": out_docs,
+        "trims": trims,
     }
 
 

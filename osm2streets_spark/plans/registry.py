@@ -450,6 +450,20 @@ def queries() -> Q:
 
     q["s_stop_lines"] = s_stop_lines
 
+    def s_debug_cw_order(spark, sf_dir):
+        """S11 debug sink (render/mod.rs:156-274): per-junction clockwise
+        road ordering labels — natural keys so the layer is joinable."""
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs)
+        ints = net["intersections"].select("doc_id", "i_id", "qx", "qy")
+        trims = net["trims"]
+        return trims.join(ints, ["doc_id", "i_id"]).select(
+            "doc_id", "qx", "qy", "road_id", "is_src_end",
+            F.col("cw_index").alias("cw_index"),
+            F.round("trim", 3).alias("trim_m"))
+
+    q["s_debug_cw_order"] = s_debug_cw_order
+
     # ---- training-data ops over the driver's tables --------------------
     def _driver_docs(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
