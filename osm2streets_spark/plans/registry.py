@@ -464,6 +464,15 @@ def queries() -> Q:
 
     q["s_debug_cw_order"] = s_debug_cw_order
 
+    def sn_dc_side_lengths(spark, sf_dir):
+        from ..operators.dual_carriageway import trace_dual_carriageway_sides
+        roads = _net_roads(spark, sf_dir)
+        roads = roads.withColumn(
+            "oneway", F.col("oneway_dir") != "")
+        return trace_dual_carriageway_sides(roads)
+
+    q["sn_dc_side_lengths"] = sn_dc_side_lengths
+
     # ---- training-data ops over the driver's tables --------------------
     def _driver_docs(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
