@@ -279,8 +279,14 @@ def queries() -> Q:
     def sn_transformed_roads(spark, sf_dir):
         docs = load_documents(spark, fixture_dir_for(sf_dir))
         net = build_street_network(spark, docs)
+        # osm_way_ids serialized to a CSV string: the driver's oracle harness
+        # canonicalizes columns by factorizing values and cannot hash raw
+        # array<long> cells (round-1 `unhashable type: 'list'` crash).
         return net["roads"].select(
-            "doc_id", "way_id", "osm_way_ids",
+            "doc_id", "way_id",
+            F.array_join(F.transform("osm_way_ids",
+                                     lambda x: x.cast("string")),
+                         ",").alias("osm_way_ids"),
             F.round("trimmed_length", 2).alias("trimmed_length"),
             "lane_chars")
 
@@ -692,7 +698,11 @@ def oracle_sql() -> dict[str, str]:
                   in ('traffic_signals', 'crossing')
            or json_extract_string(n.tags_json, '$.cycleway') = 'asl'
       )
-      select f.doc_id, f.node_id, f.feature, i.way_id, i.seg_idx
+      -- cast: segpts.seg_idx is a window-sum (HUGEINT) which pandas
+      -- materializes as float64; Spark emits int64 — the driver hashes
+      -- '0.0' vs '0' differently (round-1 hash_match=false root cause)
+      select f.doc_id, f.node_id, f.feature, i.way_id,
+             cast(i.seg_idx as bigint) as seg_idx
       from feats f
       join interior i on f.doc_id = i.doc_id and f.qx = i.qx
                      and f.qy = i.qy

@@ -34,17 +34,21 @@ def duck():
 
 
 def _normalize(rows):
+    """Type-STRICT normalization: floats and ints canonicalize to
+    distinct tokens ('f:0.0' vs 'i:0'), mirroring the driver's
+    value-hash, which distinguishes 0.0 from 0 (round-1
+    sn_feature_snap lesson: a DuckDB HUGEINT column reaching pandas as
+    float64 must fail here, not only in CORRECTNESS_r{N}.json)."""
     out = []
     for row in rows:
         norm = []
         for v in row:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    norm.append("nan")
-                else:
-                    norm.append(round(v, 6))
-            elif isinstance(v, bool):
-                norm.append(int(v))
+            if isinstance(v, bool):
+                norm.append(f"i:{int(v)}")
+            elif isinstance(v, float):
+                norm.append("nan" if math.isnan(v) else f"f:{round(v, 6)}")
+            elif isinstance(v, int):
+                norm.append(f"i:{v}")
             else:
                 norm.append(v)
         out.append(tuple(norm))
@@ -55,14 +59,21 @@ def _normalize(rows):
 @pytest.mark.parametrize("name", sorted(_ORACLES.keys()))
 def test_query_matches_oracle(spark, name, duck):
     q = _QUERIES[name]
-    sdf = q(spark, SF_DIR)
-    cols = sorted(sdf.columns)
-    got = _normalize([tuple(r[c] for c in cols) for r in sdf.collect()])
-    odf = duck.execute(_ORACLES[name]).fetch_arrow_table()
-    ocols = sorted(odf.column_names)
+    # both sides through pandas (like the driver): dtype coercions
+    # (e.g. int64+nulls -> float64) must apply identically to both
+    spdf = q(spark, SF_DIR).toPandas()
+    cols = sorted(spdf.columns)
+    got = _normalize([tuple(row[c] for c in cols)
+                      for row in spdf.to_dict(orient="records")])
+    # .df() (pandas), not fetch_arrow_table(): the driver goes through
+    # pandas, where DuckDB HUGEINT becomes float64 — the Arrow path
+    # yields Python ints and masks exactly that class of mismatch.
+    odf = duck.execute(_ORACLES[name]).df()
+    ocols = sorted(odf.columns)
     assert cols == ocols, f"{name}: column mismatch {cols} vs {ocols}"
     want = _normalize(
-        [tuple(row[c] for c in ocols) for row in odf.to_pylist()])
+        [tuple(row[c] for c in ocols)
+         for row in odf.to_dict(orient="records")])
     assert len(got) == len(want), \
         f"{name}: row count {len(got)} vs oracle {len(want)}"
     assert got == want, f"{name}: value mismatch (first diff: " \
