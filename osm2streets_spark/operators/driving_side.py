@@ -27,6 +27,7 @@ LEFT_DRIVING_BOXES = [
     ("JP", 129.4, 145.9, 31.0, 45.6, "left"),
     ("IN", 68.1, 97.4, 6.5, 35.7, "left"),
     ("ZA", 16.4, 32.9, -34.9, -22.1, "left"),
+    ("VI", -65.2, -64.5, 17.6, 18.5, "left"),  # US Virgin Islands
 ]
 
 

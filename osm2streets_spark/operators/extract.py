@@ -18,10 +18,14 @@ def tag(name: str) -> F.Column:
     return F.get_json_object(F.col("tags_json"), f"$['{name}']")
 
 
-def filter_ways(ways: DataFrame) -> DataFrame:
+def filter_ways(ways: DataFrame,
+                inferred_sidewalks: bool = True) -> DataFrame:
     """F2 way filter (extract.rs:74-151): highway/railway whitelist,
-    drop area=yes, construction without detail, separately-mapped
-    sidewalk footways."""
+    drop area=yes, construction without detail, golf cartpaths.
+    Separately-mapped sidewalks/crossings (highway=footway +
+    footway=sidewalk|crossing) are dropped ONLY when sidewalks are
+    inferred onto roads (extract.rs:134-143); the reference's
+    MapConfig::default() sets inferred_sidewalks=false and keeps them."""
     hw = tag("highway")
     rw = tag("railway")
     keep = (
@@ -30,7 +34,16 @@ def filter_ways(ways: DataFrame) -> DataFrame:
         | ((hw == "construction") & tag("construction").isNotNull())
     )
     keep = keep & (F.coalesce(tag("area"), F.lit("no")) != "yes")
-    keep = keep & (F.coalesce(tag("footway"), F.lit("")) != "sidewalk")
+    # NB: tag() is NULL when absent — comparisons must coalesce, or the
+    # whole `keep` conjunction goes NULL and where() drops the row
+    if inferred_sidewalks:
+        keep = keep & ~(
+            (F.coalesce(hw, F.lit("")) == "footway")
+            & F.coalesce(tag("footway"), F.lit("")).isin(
+                "sidewalk", "crossing")
+        )
+    keep = keep & ~((F.coalesce(hw, F.lit("")) == "service")
+                    & (F.coalesce(tag("golf"), F.lit("")) == "cartpath"))
     keep = keep & (F.size("node_ids") >= 2)
     return ways.where(keep)
 

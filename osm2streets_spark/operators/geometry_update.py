@@ -340,15 +340,25 @@ def finalize_intersections(ints: DataFrame, trims: DataFrame,
             sig.withColumnRenamed("node_id", "osm_node_id"),
             ["doc_id", "osm_node_id"], "left",
         )
+        # split_ways.rs:53-61: synthetic clip point (MapEdge) →
+        # Uncontrolled; traffic signal at the node → Signalled;
+        # every other real node → Signed (the default for ordinary
+        # junctions — NOT Uncontrolled)
         out = out.withColumn(
             "control",
             F.when(F.coalesce("has_signal", F.lit(False)), F.lit("Signalled"))
-             .otherwise(F.lit("Uncontrolled")),
+             .when(F.col("osm_node_id").isNull()
+                   | (F.col("osm_node_id") < 0), F.lit("Uncontrolled"))
+             .otherwise(F.lit("Signed")),
         ).drop("has_signal")
     else:
-        out = out.withColumn("control", F.lit("Uncontrolled")) \
-                 .withColumn("crossing_kind", F.lit(None).cast("string")) \
-                 .withColumn("crossing_island", F.lit(None).cast("boolean"))
+        out = out.withColumn(
+            "control",
+            F.when(F.col("osm_node_id").isNull()
+                   | (F.col("osm_node_id") < 0), F.lit("Uncontrolled"))
+             .otherwise(F.lit("Signed"))) \
+            .withColumn("crossing_kind", F.lit(None).cast("string")) \
+            .withColumn("crossing_island", F.lit(None).cast("boolean"))
     # MapEdge wins over the kernel's classification (the reference skips
     # movement/kind updates for map edges, intersection.rs:286-290);
     # junctions with no surviving roads keep their hint

@@ -31,11 +31,13 @@ LANE_RESULT = StructType([
 ])
 
 
-def _infer_batch(tags_json: pd.Series, driving_side: pd.Series) -> pd.DataFrame:
+def _infer_batch(tags_json: pd.Series, driving_side: pd.Series,
+                 inferred_sidewalks: pd.Series) -> pd.DataFrame:
     out = {k.name: [] for k in LANE_RESULT.fields}
-    for tj, side in zip(tags_json, driving_side):
+    for tj, side, inf_sw in zip(tags_json, driving_side, inferred_sidewalks):
         tags = json.loads(tj) if tj else {}
-        specs = get_lane_specs_ltr(tags, driving_side=side or "right")
+        specs = get_lane_specs_ltr(tags, driving_side=side or "right",
+                                   inferred_sidewalks=bool(inf_sw))
         # routing direction comes from the oneway TAG: a default 1-lane
         # service road renders one forward lane but remains two-way for
         # movements (lane-dir-derived onewayness would wrongly close it)
@@ -66,9 +68,11 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series) -> pd.DataFrame:
 infer_lanes_udf = F.pandas_udf(_infer_batch, returnType=LANE_RESULT)
 
 
-def with_lanes(ways: DataFrame, driving_side: str = "right") -> DataFrame:
+def with_lanes(ways: DataFrame, driving_side: str = "right",
+               inferred_sidewalks: bool = True) -> DataFrame:
     """Attach lane columns to the filtered-ways table."""
     res = ways.withColumn(
-        "_lanes", infer_lanes_udf(F.col("tags_json"), F.lit(driving_side))
+        "_lanes", infer_lanes_udf(F.col("tags_json"), F.lit(driving_side),
+                                  F.lit(inferred_sidewalks))
     )
     return res.select("*", "_lanes.*").drop("_lanes")

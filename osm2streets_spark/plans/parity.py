@@ -1,0 +1,237 @@
+"""Parity gate against the reference's real-fixture goldens.
+
+Runs the full pipeline over the 30 real reference areas
+(sources/reference_fixtures.py) and diffs the rendered features
+against each area's geometry.json — the same artifact the reference's
+own snapshot test regenerates and compares byte-for-byte
+(tests/src/lib.rs:53-69). Exact-byte parity with a different geometry
+kernel is not meaningful; this gate checks, per SURVEY §5:
+  * topology: road / intersection counts,
+  * identity: features matched by OSM way-id sets / node ids
+    (MapEdges and merged junctions by location),
+  * properties: control / intersection_kind / layer on matched pairs,
+  * geometry: centroid distance in meters on matched pairs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import defaultdict
+
+M_PER_DEG = 111_319.490793
+
+
+def _centroid(ring) -> tuple[float, float]:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return sum(xs) / len(xs), sum(ys) / len(ys)
+
+
+def _dist_m(a, b) -> float:
+    ky = M_PER_DEG
+    kx = M_PER_DEG * math.cos(math.radians((a[1] + b[1]) / 2.0))
+    return math.hypot((a[0] - b[0]) * kx, (a[1] - b[1]) * ky)
+
+
+def _ring_area_m2(ring) -> float:
+    if len(ring) < 3:
+        return 0.0
+    lat0 = ring[0][1]
+    kx = M_PER_DEG * math.cos(math.radians(lat0))
+    ky = M_PER_DEG
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        s += (x1 * kx) * (y2 * ky) - (x2 * kx) * (y1 * ky)
+    return abs(s) / 2.0
+
+
+def _greedy_match(golden, ours, max_dist_m: float):
+    """Greedy nearest-centroid matching between two feature lists."""
+    pairs = []
+    for gi, g in enumerate(golden):
+        for oi, o in enumerate(ours):
+            d = _dist_m(g["_c"], o["_c"])
+            if d <= max_dist_m:
+                pairs.append((d, gi, oi))
+    pairs.sort()
+    used_g, used_o, out = set(), set(), []
+    for d, gi, oi in pairs:
+        if gi in used_g or oi in used_o:
+            continue
+        used_g.add(gi)
+        used_o.add(oi)
+        out.append((golden[gi], ours[oi], d))
+    return out
+
+
+def compare_area(golden: dict, our_roads: list[dict],
+                 our_ints: list[dict]) -> dict:
+    """golden: load_golden() output. our_*: dicts with ring (lon/lat
+    list), plus properties (osm_way_ids / osm_node_ids / control /
+    intersection_kind / layer)."""
+    for f in golden["roads"] + golden["intersections"] + our_roads + our_ints:
+        f["_c"] = _centroid(f["ring"])
+
+    # ---- intersections: exact node-id key first, then location ------
+    g_by_key, g_rest = defaultdict(list), []
+    for g in golden["intersections"]:
+        ids = frozenset(g.get("osm_node_ids") or [])
+        (g_by_key[ids] if ids else g_rest).append(g)
+    int_pairs = []
+    o_rest = []
+    for o in our_ints:
+        ids = frozenset(o.get("osm_node_ids") or [])
+        if ids and g_by_key.get(ids):
+            int_pairs.append((g_by_key[ids].pop(0), o, 0.0))
+        else:
+            o_rest.append(o)
+    for lst in g_by_key.values():
+        g_rest.extend(lst)
+    loc_pairs = _greedy_match(g_rest, o_rest, 15.0)
+    n_exact = len(int_pairs)
+    int_pairs += loc_pairs
+
+    control_ok = sum(1 for g, o, _ in int_pairs
+                     if g.get("control") == o.get("control"))
+    kind_ok = sum(1 for g, o, _ in int_pairs
+                  if g.get("intersection_kind") == o.get("intersection_kind"))
+    int_dists = [_dist_m(g["_c"], o["_c"]) for g, o, _ in int_pairs]
+
+    # ---- roads: way-id-set key, disambiguate by centroid ------------
+    g_road_key, g_road_rest = defaultdict(list), []
+    for g in golden["roads"]:
+        g_road_key[tuple(sorted(g.get("osm_way_ids") or []))].append(g)
+    road_pairs = []
+    o_road_rest = []
+    for o in our_roads:
+        key = tuple(sorted(o.get("osm_way_ids") or []))
+        cands = g_road_key.get(key)
+        if cands:
+            best = min(range(len(cands)),
+                       key=lambda i: _dist_m(cands[i]["_c"], o["_c"]))
+            road_pairs.append((cands.pop(best), o,
+                               _dist_m(o["_c"], o["_c"])))
+        else:
+            o_road_rest.append(o)
+    for lst in g_road_key.values():
+        g_road_rest.extend(lst)
+    road_loc_pairs = _greedy_match(g_road_rest, o_road_rest, 10.0)
+    road_pairs += road_loc_pairs
+
+    layer_ok = sum(1 for g, o, _ in road_pairs
+                   if int(g.get("layer") or 0) == int(o.get("layer") or 0))
+    road_dists = [_dist_m(g["_c"], o["_c"]) for g, o, _ in road_pairs]
+    area_ratios = []
+    for g, o, _ in road_pairs:
+        ga, oa = _ring_area_m2(g["ring"]), _ring_area_m2(o["ring"])
+        if ga > 1.0:
+            area_ratios.append(oa / ga)
+
+    ng_i, no_i = len(golden["intersections"]), len(our_ints)
+    ng_r, no_r = len(golden["roads"]), len(our_roads)
+    m = {
+        "golden_roads": ng_r, "our_roads": no_r,
+        "golden_ints": ng_i, "our_ints": no_i,
+        "int_matched": len(int_pairs), "int_matched_exact": n_exact,
+        "road_matched": len(road_pairs),
+        "int_match_pct": round(100 * len(int_pairs) / max(ng_i, 1), 1),
+        "road_match_pct": round(100 * len(road_pairs) / max(ng_r, 1), 1),
+        "control_agree_pct": round(
+            100 * control_ok / max(len(int_pairs), 1), 1),
+        "kind_agree_pct": round(100 * kind_ok / max(len(int_pairs), 1), 1),
+        "layer_agree_pct": round(100 * layer_ok / max(len(road_pairs), 1), 1),
+        "mean_int_dist_m": round(sum(int_dists) / max(len(int_dists), 1), 2),
+        "mean_road_dist_m": round(
+            sum(road_dists) / max(len(road_dists), 1), 2),
+        "mean_area_ratio": round(
+            sum(area_ratios) / max(len(area_ratios), 1), 3),
+    }
+    # pass bar (round-2): topology within 5% or ±2, ≥90% matched, ≥85%
+    # property agreement on matched pairs
+    close = lambda a, b: abs(a - b) <= max(2, 0.05 * max(a, b))
+    m["pass"] = bool(
+        close(ng_r, no_r) and close(ng_i, no_i)
+        and m["int_match_pct"] >= 90 and m["road_match_pct"] >= 90
+        and m["control_agree_pct"] >= 85 and m["kind_agree_pct"] >= 85
+    )
+    return m
+
+
+def _features_to_lists(feature_rows) -> tuple[list[dict], list[dict]]:
+    """Rows of the pipeline's features table (feature_json strings) →
+    (roads, intersections) dicts shaped like the golden loader's."""
+    roads, ints = [], []
+    for fj in feature_rows:
+        ft = json.loads(fj)
+        p = ft["properties"]
+        rec = {"ring": ft["geometry"]["coordinates"][0], **p}
+        if p.get("type") == "road":
+            roads.append(rec)
+        else:
+            ids = p.get("osm_node_ids")
+            if isinstance(ids, int):
+                ids = [ids]
+            rec["osm_node_ids"] = [i for i in (ids or []) if i and i > 0]
+            ints.append(rec)
+    return roads, ints
+
+
+def run_reference_parity(spark, areas: list[str] | None = None) -> dict:
+    """Run the pipeline over reference areas grouped by driving side;
+    return {area: metrics}."""
+    from ..config import MapConfig
+    from ..sources.reference_fixtures import (
+        area_driving_side, list_reference_areas, load_golden,
+        reference_documents,
+    )
+    from .pipeline import build_street_network
+
+    areas = areas or list_reference_areas()
+    by_side = defaultdict(list)
+    for a in areas:
+        by_side[area_driving_side(a)].append(a)
+
+    results = {}
+    for side, group in sorted(by_side.items()):
+        docs = reference_documents(spark, group).repartition(
+            max(spark.sparkContext.defaultParallelism, len(group)), "doc_id")
+        # reference MapConfig::default(): separate sidewalks/crossings
+        # kept, no sidewalk inference (osm2lanes/src/lib.rs:588)
+        net = build_street_network(
+            spark, docs,
+            cfg=MapConfig(driving_side=side, inferred_sidewalks=False))
+        feats = (net["features"]
+                 .select("doc_id", "feature_json")
+                 .groupBy("doc_id")
+                 .agg({"feature_json": "collect_list"})
+                 .collect())
+        by_doc = {r["doc_id"]: r["collect_list(feature_json)"] for r in feats}
+        for a in group:
+            rows = by_doc.get(f"ref:{a}", [])
+            our_roads, our_ints = _features_to_lists(rows)
+            results[a] = compare_area(load_golden(a), our_roads, our_ints)
+    return results
+
+
+def write_parity_report(results: dict, path: str = "FIXTURES_PARITY.md"):
+    lines = [
+        "# Reference-fixture parity (tests/src/* vs our pipeline)", "",
+        "| area | pass | roads g/o | ints g/o | int% | road% | ctrl% "
+        "| kind% | d_int m | d_road m |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for a in sorted(results):
+        m = results[a]
+        lines.append(
+            f"| {a} | {'✅' if m['pass'] else '❌'} "
+            f"| {m['golden_roads']}/{m['our_roads']} "
+            f"| {m['golden_ints']}/{m['our_ints']} "
+            f"| {m['int_match_pct']} | {m['road_match_pct']} "
+            f"| {m['control_agree_pct']} | {m['kind_agree_pct']} "
+            f"| {m['mean_int_dist_m']} | {m['mean_road_dist_m']} |")
+    n_pass = sum(1 for m in results.values() if m["pass"])
+    lines += ["", f"**{n_pass}/{len(results)} areas pass.**", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return n_pass

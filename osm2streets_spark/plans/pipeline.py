@@ -57,9 +57,9 @@ def parse_stage(docs: DataFrame):
 def graph_stage(nodes: DataFrame, ways: DataFrame, cfg: MapConfig = DEFAULT_CONFIG):
     """F2 + K1 + J1 + W1: filtered ways with lanes, split into the v0
     road/intersection graph."""
-    fways = filter_ways(ways)
+    fways = filter_ways(ways, cfg.inferred_sidewalks)
     fways = with_parsed_road_tags(fways)
-    fways = with_lanes(fways, cfg.driving_side)
+    fways = with_lanes(fways, cfg.driving_side, cfg.inferred_sidewalks)
     roads_v0, ints_v0, flagged = build_network_v0(fways, nodes)
     way_attrs = fways.select(
         "doc_id", "way_id", "tags_json", "highway_type", "name", "layer",

@@ -70,8 +70,13 @@ def _whitelist_sql(w: str = "w") -> str:
                  is not null))
         and coalesce(json_extract_string({w}.tags_json, '$.area'), 'no')
             != 'yes'
-        and coalesce(json_extract_string({w}.tags_json, '$.footway'), '')
-            != 'sidewalk'
+        and not (json_extract_string({w}.tags_json, '$.highway') = 'footway'
+                 and coalesce(json_extract_string({w}.tags_json,
+                              '$.footway'), '')
+                     in ('sidewalk', 'crossing'))
+        and not (json_extract_string({w}.tags_json, '$.highway') = 'service'
+                 and coalesce(json_extract_string({w}.tags_json, '$.golf'),
+                              '') = 'cartpath')
         and len({w}.node_ids) >= 2
     )"""
 
