@@ -23,6 +23,10 @@ class MapConfig:
     # T3 sidepath zipping is opt-in, matching the reference's
     # experimental toggle (osm2streets-py/src/lib.rs:90-99)
     zip_sidepaths: bool = False
+    # T4: the reference's standard_for_clipped_areas list does NOT
+    # remove disconnected roads (transform/mod.rs:21-29) — golden-parity
+    # runs set False; the corpus default keeps the cleanup on
+    remove_disconnected: bool = True
     # quantization for point-equality joins (reference uses exact f64 bit
     # hashing, streets_reader/src/split_ways.rs:26; we quantize lon/lat to
     # 1e-7 deg = OSM native precision so both sides of every join agree)

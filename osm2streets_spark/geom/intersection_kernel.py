@@ -32,7 +32,7 @@ import numpy as np
 from .core import (
     cumulative_lengths, interpolate_along, first_intersection,
     normalized_degrees, polyline_length, shift_polyline, circle_ring,
-    dedupe_consecutive,
+    dedupe_consecutive, extend_to_length, slice_between,
 )
 
 UNCONTESTED, DIVERGE, MERGE, CROSS = 0, 1, 2, 3
@@ -70,57 +70,200 @@ def sort_roads_cw(roads: list[dict]) -> list[dict]:
 # trims (T6 dispatch by arity — update_geometry.rs:8-65)
 # ---------------------------------------------------------------------------
 
+def _dir_at(pl: np.ndarray, dist: float) -> np.ndarray:
+    """Unit tangent of the polyline at arclength ``dist``."""
+    cl = cumulative_lengths(pl)
+    i = min(int(np.searchsorted(cl, max(dist, 1e-9), side="left")),
+            len(pl) - 1)
+    t = pl[i] - pl[i - 1] if i > 0 else pl[1] - pl[0]
+    norm = math.hypot(t[0], t[1]) or 1.0
+    return t / norm
+
+
+def _infinite_line_hits(pt: np.ndarray, direction: np.ndarray,
+                        pl: np.ndarray) -> list[float]:
+    """Arclengths along ``pl`` where the infinite line through ``pt``
+    with ``direction`` crosses it (general_case.rs:131-137)."""
+    hits = []
+    cl = cumulative_lengths(pl)
+    dx, dy = float(direction[0]), float(direction[1])
+    for i in range(len(pl) - 1):
+        ax, ay = pl[i]
+        bx, by = pl[i + 1]
+        sx, sy = bx - ax, by - ay
+        denom = sx * dy - sy * dx
+        if abs(denom) < 1e-12:
+            continue
+        # solve a + u*(b-a) = pt + t*dir  for u in [0,1]
+        u = ((pt[0] - ax) * dy - (pt[1] - ay) * dx) / denom
+        if -1e-9 <= u <= 1 + 1e-9:
+            hits.append(float(cl[i] + u * (cl[i + 1] - cl[i])))
+    return hits
+
+
+def _cw_edges(roads_cw: list[dict]) -> list[tuple[dict, np.ndarray]]:
+    """RoadEdge::calculate (road.rs:569-601) in the away-pointing frame:
+    per clockwise road, its two thickened edge polylines in clockwise
+    order — [right-of-into-travel, left-of-into-travel]. With away-
+    pointing centers and shift_polyline's positive=right-of-travel,
+    right-of-into = shift(-half) and left-of-into = shift(+half); edges
+    start at the intersection side."""
+    out = []
+    for r in roads_cw:
+        half = max(r["width"], 0.5) / 2.0
+        out.append((r, shift_polyline(r["xy"], -half)))   # right_in
+        out.append((r, shift_polyline(r["xy"], half)))    # left_in
+    return out
+
+
+MERGE_POINT_LENGTH = 5.0  # on_off_ramp.rs:8
+
+RAMP_TYPES = {"motorway", "motorway_link", "primary_link",
+              "secondary_link", "tertiary_link", "trunk_link"}
+
+
+def _last_intersection(pl_a: np.ndarray, pl_b: np.ndarray):
+    """Crossing of two polylines FARTHEST along ``pl_a`` (both
+    away-pointing) — the reference's into-frame PolyLine::intersection
+    walks from the far end (on_off_ramp.rs:70-77)."""
+    hit = first_intersection(pl_a[::-1], pl_b[::-1])
+    if hit is None:
+        return None
+    pt, da, db = hit
+    return pt, polyline_length(pl_a) - da, polyline_length(pl_b) - db
+
+
+def _perp_trim(pt: np.ndarray, edge: np.ndarray, d_along_edge: float,
+               center: np.ndarray) -> float | None:
+    """Trim distance: project the edge hit perpendicularly back to the
+    center line, keeping the candidate nearest the intersection
+    (general_case.rs:79-99)."""
+    tang = _dir_at(edge, d_along_edge)
+    perp = np.array([-tang[1], tang[0]])
+    cands = _infinite_line_hits(pt, perp, center)
+    return min(cands) if cands else None
+
+
+def ramp_trims(roads_cw: list[dict]) -> dict | None:
+    """J9 on/off-ramp special case (geometry/on_off_ramp.rs:13-179):
+    3 roads, one of the highway types that forms ramps. The THIN road
+    (smallest width; ties prefer outbound) is trimmed where it hits a
+    thick road FARTHEST along; that thick is trimmed at the same hit;
+    the OTHER thick is EXTENDED by the trimmed-off piece minus a 5 m
+    merge point. Returns trims (extension = negative trim) or None to
+    fall back to the general case."""
+    if len(roads_cw) != 3:
+        return None
+    if not any(r.get("highway_type") in RAMP_TYPES or r.get("is_link")
+               for r in roads_cw):
+        return None
+    # thin = min (width, outbound-preferred); thicks = the two widest
+    ordered = sorted(roads_cw,
+                     key=lambda r: (r["width"], not r["is_src_end"]))
+    thin, thick_a, thick_b = ordered[0], ordered[1], ordered[2]
+    halves = {r["key"]: max(r["width"], 0.5) / 2.0 for r in roads_cw}
+    edges = {r["key"]: (shift_polyline(r["xy"], -halves[r["key"]]),
+                        shift_polyline(r["xy"], halves[r["key"]]))
+             for r in roads_cw}
+
+    best = None  # (t_thin, t_thick, thick_key)
+    for thin_pl in edges[thin["key"]]:
+        for thick in (thick_a, thick_b):
+            for thick_pl in edges[thick["key"]]:
+                hit = _last_intersection(thin_pl, thick_pl)
+                if hit is None:
+                    continue
+                pt, d_thin_e, d_thick_e = hit
+                pt = np.asarray(pt, dtype=float)
+                t_thin = _perp_trim(pt, thin_pl, d_thin_e, thin["xy"])
+                t_thick = _perp_trim(pt, thick_pl, d_thick_e, thick["xy"])
+                if t_thin is None or t_thick is None:
+                    continue
+                # minimal remaining thin length = deepest thin trim
+                if best is None or t_thin > best[0]:
+                    best = (t_thin, t_thick, thick["key"])
+    if best is None:
+        return None
+    t_thin, t_thick, thick_key = best
+    # the trimmed-off thick piece must exceed the merge point length
+    if t_thick <= MERGE_POINT_LENGTH + 1e-6:
+        return None
+    other_key = thick_b["key"] if thick_key == thick_a["key"] \
+        else thick_a["key"]
+    return {
+        thin["key"]: float(t_thin),
+        thick_key: float(t_thick),
+        # LENGTHEN the other thick through the junction
+        # (on_off_ramp.rs:139-155); negative trim = extension
+        other_key: -float(t_thick - MERGE_POINT_LENGTH),
+    }
+
+
 def compute_trims(roads_cw: list[dict]) -> dict:
-    """→ {road_key: trim_meters}. road_key = (road_id, is_src_end)."""
+    trims, _ = compute_trims_ex(roads_cw)
+    return trims
+
+
+def compute_trims_ex(roads_cw: list[dict]) -> tuple[dict, str]:
+    """→ ({road_key: trim_meters}, mode). road_key = (road_id,
+    is_src_end); mode ∈ {'terminus','degenerate','ramp','general'}.
+
+    n==2: degenerate.rs:8-38 (1.0 m ideal / 0.1 m short / bail <0.2);
+    n==3 with a ramp-type road: on_off_ramp.rs (see ramp_trims);
+    n>=3: general_case.rs trim_to_corners — every adjacent clockwise
+    pair of road EDGES (facing edges only, not all pairs) collides at
+    the hit nearest the intersection; each side projects the hit
+    perpendicularly back to its center line and trims to the candidate
+    nearest the intersection. Deepest trim per road end wins."""
     n = len(roads_cw)
     trims = {r["key"]: 0.0 for r in roads_cw}
     if n == 1:
-        return trims
+        return trims, "terminus"
     if n == 2:
-        # degenerate (geometry/degenerate.rs:8-61): 1.0 m ideal, 0.1 min
-        for r in roads_cw:
-            length = polyline_length(r["xy"])
-            trims[r["key"]] = max(0.1, min(1.0, length / 2.0))
-        return trims
-    # J9 on/off-ramp branch (geometry/on_off_ramp.rs:13-179): 3 roads
-    # where exactly one is a *_link — the two mainline roads are
-    # continuous pavement, so their mutual collision must NOT trim them
-    # (the reference trims the thin road + one thick and extends the
-    # other; we approximate by skipping the thick-thick pair).
-    ramp_links = [r for r in roads_cw if r.get("is_link")]
-    skip_pair = None
-    if n == 3 and len(ramp_links) == 1:
-        thick = [r["key"] for r in roads_cw if not r.get("is_link")]
-        skip_pair = frozenset(thick)
-    # general case (general_case.rs:11-128): for each adjacent clockwise
-    # pair, collide the thickened edges; each road's trim = deepest
-    # collision across its pairs, clamped to its length. Edge polylines
-    # are computed once per road and reused across both adjacent pairs.
-    edges = []
-    lengths = []
-    for r in roads_cw:
-        half = r["width"] / 2.0
-        edges.append((shift_polyline(r["xy"], half),
-                      shift_polyline(r["xy"], -half)))
-        lengths.append(polyline_length(r["xy"]))
-    for i in range(n):
-        j = (i + 1) % n
-        a, b = roads_cw[i], roads_cw[j]
-        if skip_pair is not None and frozenset((a["key"], b["key"])) == skip_pair:
+        lengths = [polyline_length(r["xy"]) for r in roads_cw]
+        if min(lengths) < 0.2:
+            return trims, "degenerate"  # bail (degenerate.rs:23-26)
+        for r, length in zip(roads_cw, lengths):
+            trims[r["key"]] = 1.0 if length > 2.0 else 0.1
+        return trims, "degenerate"
+
+    rt = ramp_trims(roads_cw)
+    if rt is not None:
+        return rt, "ramp"
+
+    edges = _cw_edges(roads_cw)
+    edges.append(edges[0])
+    lengths = {r["key"]: polyline_length(r["xy"]) for r in roads_cw}
+    for (ra, ea), (rb, eb) in zip(edges, edges[1:]):
+        if ra["key"] == rb["key"]:
+            continue  # two edges of the same road end
+        if ra["road_id"] == rb["road_id"]:
+            continue  # loop road: its own two ends (general_case.rs:43)
+        hit = first_intersection(ea, eb)
+        if hit is None:
             continue
-        best_a = best_b = 0.0
-        for ea in edges[i]:
-            for eb in edges[j]:
-                hit = first_intersection(ea, eb)
-                if hit is None:
+        pt, da, db = hit
+        pt = np.asarray(pt, dtype=float)
+        for road, edge, d in ((ra, ea, da), (rb, eb, db)):
+            # loop-pair wrong-end guard (general_case.rs:53-74)
+            if _same_endpoints(ra, rb):
+                d_this = math.hypot(*(pt - road["xy"][0]))
+                d_other = math.hypot(*(pt - road["xy"][-1]))
+                if d_other < d_this:
                     continue
-                _, da, db = hit
-                best_a = max(best_a, da)
-                best_b = max(best_b, db)
-        for road, best, length in ((a, best_a, lengths[i]),
-                                   (b, best_b, lengths[j])):
-            trims[road["key"]] = max(trims[road["key"]], min(best, length))
-    return trims
+            t = _perp_trim(pt, edge, d, road["xy"])
+            if t is None:
+                continue
+            if t < lengths[road["key"]]:
+                trims[road["key"]] = max(trims[road["key"]], t)
+    return trims, "general"
+
+
+def _same_endpoints(ra: dict, rb: dict) -> bool:
+    """CommonEndpoint::Both — two distinct roads joining the same two
+    intersections (a loop pair)."""
+    ia, ib = ra.get("other_i"), rb.get("other_i")
+    return ia is not None and ia == ib
 
 
 # ---------------------------------------------------------------------------
@@ -141,32 +284,139 @@ def _end_cap_corners(xy: np.ndarray, trim: float, width: float):
     return pt + perp * width / 2.0, pt - perp * width / 2.0, pt, t
 
 
-def intersection_polygon(roads_cw: list[dict], trims: dict) -> np.ndarray:
-    """Closed ring for the junction area."""
+def terminus_geometry(xy: np.ndarray, width: float,
+                      is_map_edge: bool) -> tuple[float, np.ndarray]:
+    """geometry/terminus.rs:8-64 → (trim_m, ring). ``xy`` points away
+    from the intersection. MapEdges extend short roads to 3×width
+    before trimming width off (a negative net trim = extension);
+    dead-ends trim width (or 0.4×length when short)."""
+    w = max(width, 1.0)
+    length = polyline_length(xy)
+    if is_map_edge:
+        eff_len = max(length, 3.0 * w)
+        trim = length - eff_len + w
+        cap = w
+    else:
+        if length > w + 1.0:
+            trim = cap = w
+        else:
+            trim = cap = 0.4 * length
+    if trim < 0:
+        # extend backward past the original end (terminus.rs:20-29);
+        # on the extended line the cap spans [0, w]
+        pl = extend_to_length(xy[::-1], eff_len)[::-1]
+        c_r, c_l, _, _ = _end_cap_corners(pl, w, w)
+        b_r, b_l, _, _ = _end_cap_corners(pl, 0.0, w)
+    else:
+        c_r, c_l, _, _ = _end_cap_corners(xy, trim, w)
+        b_r, b_l, _, _ = _end_cap_corners(xy, max(trim - cap, 0.0), w)
+    ring = np.array([c_r, c_l, b_l, b_r, c_r])
+    return float(trim), ring
+
+
+def _trimmed_edges(roads_cw: list[dict], trims: dict):
+    """Edges of the TRIMMED centers in clockwise order, away-pointing,
+    plus per-edge bookkeeping for polygon_from_corners."""
+    from .core import slice_between
+
+    out = []
+    for r in roads_cw:
+        half = max(r["width"], 0.5) / 2.0
+        length = polyline_length(r["xy"])
+        trim = min(trims.get(r["key"], 0.0), length - 0.01)
+        center = slice_between(r["xy"], max(trim, 0.0), length) \
+            if trim > 0 else r["xy"]
+        for sign in (-half, half):  # right_in then left_in (cw order)
+            out.append({
+                "road": r, "pl": shift_polyline(center, sign),
+                "orig_len": length,
+            })
+    return out
+
+
+def _cap_corners_ext(xy: np.ndarray, trim: float, width: float):
+    """End-cap corners honouring a negative trim (extension past the
+    original end — ramp 'other thick' roads, on_off_ramp.rs:143-155)."""
+    if trim < 0:
+        pl = extend_to_length(xy[::-1], polyline_length(xy) - trim)[::-1]
+        return _end_cap_corners(pl, 0.0, width)
+    return _end_cap_corners(xy, trim, width)
+
+
+def intersection_polygon(roads_cw: list[dict], trims: dict,
+                         mode: str = "general") -> np.ndarray:
+    """Closed ring for the junction area.
+
+    n==1: terminus square (terminus.rs — trim handled by caller via
+    ``trims``); n==2: degenerate square from the 4 trimmed corner
+    points (degenerate.rs:40-47); n>=3: polygon_from_corners
+    (geometry/mod.rs:172-229) — each trimmed edge contributes its
+    intersection-side endpoint, and adjacent edges of different roads
+    contribute the collision corner of the edges re-extended to their
+    original lengths."""
     if len(roads_cw) == 1:
         r = roads_cw[0]
         w = max(r["width"], 1.0)
-        c_r, c_l, pt, t = _end_cap_corners(r["xy"], 0.0, w)
-        half = w / 2.0
-        ring = np.array([
-            c_r, c_l, c_l - t * half * 2, c_r - t * half * 2, c_r,
-        ])
-        return ring
-    corners = []
-    for r in roads_cw:
         trim = trims.get(r["key"], 0.0)
-        c_r, c_l, _, _ = _end_cap_corners(r["xy"], trim, max(r["width"], 0.5))
-        corners.append(c_r)
-        corners.append(c_l)
-    pts = np.array(corners)
-    center = pts.mean(axis=0)
-    ang = np.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
-    order = np.argsort(-ang)  # clockwise in y-up plane
-    ring = pts[order]
-    ring = np.vstack([ring, ring[0][None, :]])
+        c_r, c_l, pt, t = _end_cap_corners(r["xy"], trim, w)
+        b_r, b_l, _, _ = _end_cap_corners(r["xy"], max(trim - w, 0.0), w)
+        return np.array([c_r, c_l, b_l, b_r, c_r])
+    if len(roads_cw) == 2:
+        corners = []
+        for r in roads_cw:
+            trim = trims.get(r["key"], 0.0)
+            c_r, c_l, _, _ = _end_cap_corners(
+                r["xy"], trim, max(r["width"], 0.5))
+            corners.append((c_l, c_r))
+        (a_l, a_r), (b_l, b_r) = corners
+        ring = np.array([a_l, b_r, b_l, a_r, a_l])
+        ring = dedupe_consecutive(ring)
+        if len(ring) < 4:
+            return circle_ring(np.mean([a_l, a_r, b_l, b_r], axis=0), 3.0)
+        return ring
+
+    if mode == "ramp":
+        # on_off_ramp.rs:158-175: just the 6 endpoints of the final
+        # center lines — no corner collisions
+        endpts = []
+        for r in roads_cw:
+            c_r, c_l, _, _ = _cap_corners_ext(
+                r["xy"], trims.get(r["key"], 0.0), max(r["width"], 0.5))
+            endpts.append(c_l)
+            endpts.append(c_r)
+        ring = dedupe_consecutive(np.array(endpts + [endpts[0]]))
+        if len(ring) < 4:
+            return circle_ring(np.mean(np.array(endpts), axis=0), 3.0)
+        return ring
+
+    edges = _trimmed_edges(roads_cw, trims)
+    edges.append(edges[0])
+    endpts = []
+    for one, two in zip(edges, edges[1:]):
+        endpts.append(one["pl"][0])  # i-side endpoint of the trimmed edge
+        if one["road"]["road_id"] == two["road"]["road_id"]:
+            continue  # same road (incl. a loop road's two ends)
+        # corner: collide both edges re-extended (at the i side) to
+        # their original untrimmed lengths; keep the hit nearest the
+        # intersection unless it lands on the wrong half (mod.rs:195-221)
+        exts = []
+        for e in (one, two):
+            pl = e["pl"]
+            cur = polyline_length(pl)
+            add = max(e["orig_len"] - cur, 0.0)
+            if add > 1e-9:
+                pl = extend_to_length(pl[::-1], cur + add)[::-1]
+            exts.append((pl, add, cur))
+        hit = first_intersection(exts[0][0], exts[1][0])
+        if hit is not None:
+            pt, da, _ = hit
+            d_on_trimmed = da - exts[0][1]
+            if d_on_trimmed <= exts[0][2] / 2.0:
+                endpts.append(np.asarray(pt, dtype=float))
+    ring = np.array(endpts + [endpts[0]])
     ring = dedupe_consecutive(ring)
     if len(ring) < 4:  # fallback: reference's 3 m circle (intersection.rs:208)
-        return circle_ring(center, 3.0)
+        return circle_ring(np.mean(np.array(endpts), axis=0), 3.0)
     return ring
 
 

@@ -194,7 +194,12 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         if tags.get("oneway") != "yes":
             specs = [LaneSpec(LIGHT_RAIL, BACK, specs[0].width)] + specs
     elif hw in ("footway", "pedestrian", "steps"):
-        specs = [LaneSpec(FOOTWAY, FWD, default_width(FOOTWAY, "", hw))]
+        # a separately-mapped sidewalk is a SIDEWALK lane, not a footway
+        # (osm2lanes algorithm.rs:279-285: sidepath footways become
+        # Sidewalk) — this also keeps T2 from splicing a sidewalk way
+        # with a crossing way (their lane specs must differ)
+        lt = SIDEWALK if tags.get("footway") == "sidewalk" else FOOTWAY
+        specs = [LaneSpec(lt, FWD, default_width(FOOTWAY, "", hw))]
     elif hw == "path":
         specs = [LaneSpec(SHARED_USE, FWD, default_width(SHARED_USE, "", hw))]
     elif hw == "cycleway":
@@ -213,6 +218,11 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         return specs
 
     # --- roadway assembly -----------------------------------------------
+    # junction=roundabout/circular implies oneway=yes (standard OSM
+    # implication, applied by the reference's muv tag model)
+    if "oneway" not in tags and tags.get("junction") in ("roundabout",
+                                                         "circular"):
+        tags["oneway"] = "yes"
     oneway = tags.get("oneway") == "yes"
     reverse_oneway = tags.get("oneway") == "-1"
 

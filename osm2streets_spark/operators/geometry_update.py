@@ -34,7 +34,8 @@ from ..geom.core import (
     extend_to_length, polyline_length,
 )
 from ..geom.intersection_kernel import (
-    sort_roads_cw, compute_trims, intersection_polygon, movements_and_kind,
+    sort_roads_cw, compute_trims_ex, intersection_polygon,
+    movements_and_kind, terminus_geometry,
 )
 
 M_PER_DEG = 111_319.490793
@@ -121,6 +122,9 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
             for item in json.loads(rj):
                 if item["frm"] == row.road_id:
                     (banned if item["rt"] == "Ban" else only).add(item["to"])
+        pre = getattr(row, "pretrim", None)
+        pre = None if pre is None or (isinstance(pre, float)
+                                      and math.isnan(pre)) else float(pre)
         roads.append({
             "key": (int(row.road_id), bool(row.is_src_end)),
             "road_id": int(row.road_id),
@@ -133,14 +137,23 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
             "is_link": bool(getattr(row, "is_link", False)),
             "banned_to": banned,
             "only_to": only,
+            "pretrim": pre,
+            "other_i": int(getattr(row, "other_i", 0) or 0),
         })
     roads_cw = sort_roads_cw(roads)
-    trims = compute_trims(roads_cw)
+    if any(r["pretrim"] is not None for r in roads):
+        # pretrimmed path (geometry/pretrimmed.rs:13-65): a T1 merge
+        # recorded where each incident road was already trimmed — use
+        # those values verbatim instead of colliding edges again
+        trims = {r["key"]: float(r["pretrim"] or 0.0) for r in roads_cw}
+        mode = "general"
+    else:
+        trims, mode = compute_trims_ex(roads_cw)
     if trims_only:
         ring = None
         movements, kind = [], None
     else:
-        ring = intersection_polygon(roads_cw, trims)
+        ring = intersection_polygon(roads_cw, trims, mode)
         movements, kind = movements_and_kind(roads_cw, driving_side)
 
     rows = []
@@ -185,20 +198,33 @@ def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
         singles = pdf[counts == 1]
         multi = pdf[counts > 1]
         for row in singles.itertuples(index=False):
-            if trims_only:
-                rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                             bool(row.is_src_end), 0.0, None, None, None, 0))
-                continue
+            pre = getattr(row, "pretrim", None)
+            pre = None if pre is None or (isinstance(pre, float)
+                                          and math.isnan(pre)) else float(pre)
             xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
             if not bool(row.is_src_end):
                 xy = xy[::-1]
             w = max(float(row.total_width), 1.0)
-            ring = intersection_polygon(
-                [{"key": (int(row.road_id), bool(row.is_src_end)),
-                  "xy": xy, "width": w}], {})
+            is_edge = bool(getattr(row, "is_edge", False))
+            # terminus.rs:8-64: trim by width (MapEdges extend short
+            # roads first); a T1 pretrim memo overrides
+            if pre is not None:
+                trim, ring = pre, None
+                if not trims_only:
+                    key = (int(row.road_id), bool(row.is_src_end))
+                    ring = intersection_polygon(
+                        [{"key": key, "xy": xy, "width": w,
+                          "road_id": int(row.road_id)}], {key: pre})
+            else:
+                trim, ring = terminus_geometry(xy, w, is_edge)
+            if trims_only:
+                rows.append((row.doc_id, int(row.i_id), int(row.road_id),
+                             bool(row.is_src_end), float(trim),
+                             None, None, None, 0))
+                continue
             kind = "Terminus" if bool(row.driveable) else "Connection"
             rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                         bool(row.is_src_end), 0.0,
+                         bool(row.is_src_end), float(trim),
                          ring.ravel().tolist(), kind, "[]", 0))
         if len(multi):
             for _, g in multi.groupby(["doc_id", "i_id"], sort=False):
@@ -218,21 +244,37 @@ def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
     fwd = F.col("oneway_dir") == "forward"
     back = F.col("oneway_dir") == "backward"
     bidi = F.col("oneway_dir") == ""
-    is_link = F.col("highway_type").endswith("_link")
+    # ramp-eligible types (on_off_ramp.rs:26-37): the *_link kinds plus
+    # motorway mainline
+    is_link = (F.col("highway_type").endswith("_link")
+               | (F.col("highway_type") == "motorway"))
     # explode-of-two-structs instead of a union: one pass over roads,
     # one plan subtree (a union doubles the upstream subtree and the
     # stage count)
+    src = roads
+    for c in ("pretrim_src", "pretrim_dst"):
+        if c not in src.columns:
+            src = src.withColumn(c, F.lit(None).cast("double"))
+    for c in ("src_is_edge", "dst_is_edge"):
+        if c not in src.columns:
+            src = src.withColumn(c, F.lit(None).cast("boolean"))
     both = F.array(
         F.struct(
             F.col("src_i").alias("i_id"), F.lit(True).alias("is_src_end"),
             (bidi | back).alias("can_out"), (bidi | fwd).alias("can_in"),
+            F.col("pretrim_src").alias("pretrim"),
+            F.coalesce("src_is_edge", F.lit(False)).alias("is_edge"),
+            F.col("dst_i").alias("other_i"),
         ),
         F.struct(
             F.col("dst_i").alias("i_id"), F.lit(False).alias("is_src_end"),
             (bidi | fwd).alias("can_out"), (bidi | back).alias("can_in"),
+            F.col("pretrim_dst").alias("pretrim"),
+            F.coalesce("dst_is_edge", F.lit(False)).alias("is_edge"),
+            F.col("src_i").alias("other_i"),
         ),
     )
-    ends = roads.select(
+    ends = src.select(
         "doc_id", "road_id", "xy", "total_width", "driveable",
         is_link.alias("is_link"), F.explode(both).alias("_e"),
     ).select(
@@ -240,6 +282,9 @@ def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
         F.col("_e.is_src_end").alias("is_src_end"), "xy", "total_width",
         "driveable", F.col("_e.can_out").alias("can_out"),
         F.col("_e.can_in").alias("can_in"), "is_link",
+        F.col("_e.pretrim").alias("pretrim"),
+        F.col("_e.is_edge").alias("is_edge"),
+        F.col("_e.other_i").alias("other_i"),
     )
     if restrictions_by_i is not None:
         # restrictions are sparse but corpus-proportional — a plain hash
@@ -271,7 +316,7 @@ def _rebuild_center(xy: pd.Series, trim_start: pd.Series,
         total = polyline_length(pl)
         t0 = float(t0 or 0.0)
         t1 = float(t1 or 0.0)
-        if t0 + t1 >= total - 0.1:
+        if t0 + t1 >= total:  # maybe_exact_slice fails → annihilated
             # road trimmed into oblivion → T1 collapse candidate
             # (operations/update_geometry.rs:58-63)
             mid = total / 2.0
@@ -321,44 +366,81 @@ def apply_trims(roads: DataFrame, trims: DataFrame) -> DataFrame:
 
 
 def finalize_intersections(ints: DataFrame, trims: DataFrame,
-                           features: DataFrame | None = None) -> DataFrame:
+                           features: DataFrame | None = None,
+                           imerges: DataFrame | None = None,
+                           ints_v0: DataFrame | None = None) -> DataFrame:
     """Assemble the final intersections table: polygon/kind/movements
     from the T6 kernel + control from feature nodes (J3 at-node case:
-    signals on the junction node → Signalled, split_ways.rs:221-259)."""
+    signals on the junction node → Signalled, split_ways.rs:221-259).
+
+    With `imerges` (absorbed→surviving from T1) and `ints_v0`, a
+    surviving intersection unions the OSM node ids of everything merged
+    into it (collapse_short_road.rs:66-84: keep.osm_ids.extend) and
+    takes the strongest control/crossing across the merged set
+    (:72-76 Signalled wins; merge_crossings :164-176 kind-max)."""
     meta = trims.where(F.col("polygon_xy").isNotNull()).select(
         "doc_id", "i_id", "polygon_xy", "kind", "movements_json")
     out = ints.join(meta, ["doc_id", "i_id"], "left")
+
+    # node roster per final intersection: its own node + absorbed nodes
+    roster = out.select("doc_id", "i_id", "osm_node_id")
+    if imerges is not None and ints_v0 is not None:
+        absorbed_nodes = imerges.join(
+            ints_v0.select("doc_id",
+                           F.col("i_id").alias("absorbed_i"),
+                           "osm_node_id"),
+            ["doc_id", "absorbed_i"],
+        ).select("doc_id", F.col("surviving_i").alias("i_id"),
+                 "osm_node_id")
+        roster = roster.unionByName(absorbed_nodes)
+    roster = roster.where(
+        F.col("osm_node_id").isNotNull() & (F.col("osm_node_id") > 0))
+
     if features is not None:
         sig = features.select(
-            "doc_id", "node_id",
+            "doc_id", F.col("node_id").alias("osm_node_id"),
             (F.col("feature") == "traffic_signals").alias("has_signal"),
             F.when(F.col("feature") == "crossing", F.col("crossing_kind"))
              .alias("crossing_kind"),
             "crossing_island",
         )
-        out = out.join(
-            sig.withColumnRenamed("node_id", "osm_node_id"),
-            ["doc_id", "osm_node_id"], "left",
-        )
-        # split_ways.rs:53-61: synthetic clip point (MapEdge) →
-        # Uncontrolled; traffic signal at the node → Signalled;
-        # every other real node → Signed (the default for ordinary
-        # junctions — NOT Uncontrolled)
-        out = out.withColumn(
-            "control",
-            F.when(F.coalesce("has_signal", F.lit(False)), F.lit("Signalled"))
-             .when(F.col("osm_node_id").isNull()
-                   | (F.col("osm_node_id") < 0), F.lit("Uncontrolled"))
-             .otherwise(F.lit("Signed")),
-        ).drop("has_signal")
+        roster = roster.join(sig, ["doc_id", "osm_node_id"], "left")
     else:
-        out = out.withColumn(
-            "control",
-            F.when(F.col("osm_node_id").isNull()
-                   | (F.col("osm_node_id") < 0), F.lit("Uncontrolled"))
-             .otherwise(F.lit("Signed"))) \
+        roster = roster.withColumn("has_signal", F.lit(False)) \
             .withColumn("crossing_kind", F.lit(None).cast("string")) \
             .withColumn("crossing_island", F.lit(None).cast("boolean"))
+
+    # merge_crossings kind-max order: Signalized > Marked > Unmarked
+    kind_rank = (F.when(F.col("crossing_kind") == "Signalized", 3)
+                  .when(F.col("crossing_kind") == "Marked", 2)
+                  .when(F.col("crossing_kind") == "Unmarked", 1))
+    agg = roster.groupBy("doc_id", "i_id").agg(
+        F.sort_array(F.collect_set("osm_node_id")).alias("osm_node_ids"),
+        F.max(F.coalesce("has_signal", F.lit(False))).alias("_any_signal"),
+        F.max(kind_rank).alias("_kind_rank"),
+        F.max(F.coalesce("crossing_island", F.lit(False)))
+         .alias("crossing_island"),
+    ).withColumn(
+        "crossing_kind",
+        F.when(F.col("_kind_rank") == 3, "Signalized")
+         .when(F.col("_kind_rank") == 2, "Marked")
+         .when(F.col("_kind_rank") == 1, "Unmarked"),
+    ).drop("_kind_rank")
+    out = out.join(agg, ["doc_id", "i_id"], "left")
+    out = out.withColumn(
+        "osm_node_ids",
+        F.coalesce("osm_node_ids", F.array().cast("array<long>")))
+
+    # split_ways.rs:53-61: synthetic clip point (MapEdge) →
+    # Uncontrolled; traffic signal at any merged node → Signalled;
+    # every other real node → Signed (the default for ordinary
+    # junctions — NOT Uncontrolled)
+    out = out.withColumn(
+        "control",
+        F.when(F.coalesce("_any_signal", F.lit(False)), F.lit("Signalled"))
+         .when(F.size("osm_node_ids") == 0, F.lit("Uncontrolled"))
+         .otherwise(F.lit("Signed")),
+    ).drop("_any_signal")
     # MapEdge wins over the kernel's classification (the reference skips
     # movement/kind updates for map edges, intersection.rs:286-290);
     # junctions with no surviving roads keep their hint

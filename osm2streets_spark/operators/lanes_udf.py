@@ -42,6 +42,9 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series,
         # service road renders one forward lane but remains two-way for
         # movements (lane-dir-derived onewayness would wrongly close it)
         ow_tag = tags.get("oneway", "")
+        if ow_tag == "" and tags.get("junction") in ("roundabout",
+                                                     "circular"):
+            ow_tag = "yes"  # standard OSM implication
         if ow_tag == "yes":
             ow = "forward"
         elif ow_tag == "-1":

@@ -107,7 +107,7 @@ def render_intersections(ints: DataFrame) -> DataFrame:
     props = F.to_json(F.struct(
         F.col("i_id").alias("id"),
         F.lit("intersection").alias("type"),
-        F.col("osm_node_id").alias("osm_node_ids"),
+        F.col("osm_node_ids").alias("osm_node_ids"),
         F.col("kind").alias("intersection_kind"),
         F.col("control").alias("control"),
         F.col("movements_json").alias("movements"),

@@ -21,8 +21,15 @@ QUANTUM = 1e7
 
 
 def resolve_restrictions(restrictions: DataFrame, nodes: DataFrame,
-                         roads: DataFrame) -> DataFrame:
-    """→ (doc_id, i_id, restriction_type, from_road, to_road)."""
+                         roads: DataFrame,
+                         imerges: DataFrame | None = None) -> DataFrame:
+    """→ (doc_id, i_id, restriction_type, from_road, to_road).
+
+    Works pre- OR post-transform: when `roads` carries `osm_way_ids`
+    (post-T2 splices), a road matches every constituent way; when
+    `imerges` is given (post-T1 merges, columns doc_id / surviving_i /
+    absorbed_i), a via node whose intersection was absorbed resolves to
+    the surviving intersection."""
     r = restrictions.where(F.col("via_node").isNotNull())
     r = r.join(
         nodes.select(
@@ -32,11 +39,26 @@ def resolve_restrictions(restrictions: DataFrame, nodes: DataFrame,
         ),
         ["doc_id", "via_node"],
     ).withColumn("i_id", F.xxhash64("doc_id", "qx", "qy"))
+    if imerges is not None:
+        r = r.join(
+            imerges.withColumnRenamed("absorbed_i", "i_id"),
+            ["doc_id", "i_id"], "left",
+        ).withColumn(
+            "i_id", F.coalesce("surviving_i", "i_id")
+        ).drop("surviving_i")
 
-    incident = roads.select(
-        "doc_id", "road_id", "way_id",
-        F.explode(F.array("src_i", "dst_i")).alias("i_id"),
-    )
+    if "osm_way_ids" in roads.columns:
+        incident = roads.select(
+            "doc_id", "road_id",
+            F.explode("osm_way_ids").alias("way_id"),
+            F.array("src_i", "dst_i").alias("_is"),
+        ).select("doc_id", "road_id", "way_id",
+                 F.explode("_is").alias("i_id"))
+    else:
+        incident = roads.select(
+            "doc_id", "road_id", "way_id",
+            F.explode(F.array("src_i", "dst_i")).alias("i_id"),
+        )
     frm = incident.select(
         "doc_id", "i_id", F.col("way_id").alias("from_way"),
         F.col("road_id").alias("from_road"))

@@ -86,10 +86,23 @@ def remove_disconnected(roads: list[dict]) -> list[dict]:
     return out
 
 
-def collapse_short_roads(roads: list[dict]) -> list[dict]:
+def collapse_short_roads(roads: list[dict],
+                         imerges: dict[int, int] | None = None) -> list[dict]:
     """T1 (operations/collapse_short_road.rs:12-161): for each candidate
     (tagged junction=intersection, or trim-annihilated), merge its dst
-    intersection into its src, rewrite endpoints, drop new self-loops."""
+    intersection into its src, rewrite endpoints, drop new self-loops.
+
+    Faithful details added for golden parity:
+      * a candidate touching a MapEdge is skipped
+        (collapse_short_road.rs:24-28)
+      * at each collapse, every surviving road incident to either
+        merged intersection memoizes its CURRENT trim at that end
+        (`trim_roads_for_merging`, :44-58) — consumed by the T6 kernel
+        as the pretrimmed-geometry path (geometry/pretrimmed.rs:13-65)
+      * absorbed→survivor intersection ids are recorded in `imerges`
+        (caller-provided dict) for control/crossing upgrade and
+        osm_node_id union (:66-84)
+    """
     merged: dict[int, int] = {}
 
     def resolve(i):
@@ -97,17 +110,41 @@ def collapse_short_roads(roads: list[dict]) -> list[dict]:
             i = merged[i]
         return i
 
-    out = []
     candidates = sorted(
-        (r for r in roads if r.get("internal_junction_road") or r.get("too_short")),
+        (r for r in roads
+         if r.get("internal_junction_road") or r.get("too_short")),
         key=lambda r: r["road_id"],
     )
-    cand_ids = {r["road_id"] for r in candidates}
+    # incident index for the trim memo
+    incident: dict[int, list[dict]] = {}
+    for r in roads:
+        incident.setdefault(r["src_i"], []).append(r)
+        incident.setdefault(r["dst_i"], []).append(r)
+
+    cand_ids = set()
+    edge_is = {r["src_i"] for r in roads if r.get("src_is_edge")} | \
+              {r["dst_i"] for r in roads if r.get("dst_is_edge")}
     for r in candidates:
         src, dst = resolve(r["src_i"]), resolve(r["dst_i"])
+        if src in edge_is or dst in edge_is:
+            continue  # MapEdge guard (collapse_short_road.rs:24-28)
+        cand_ids.add(r["road_id"])
         if src == dst:
-            continue  # already merged via another candidate
+            continue  # became a loop via another candidate → just remove
+        # memo current trims of surviving incident roads at both ends
+        for i in (src, dst):
+            for other in incident.get(i, []):
+                if (other["road_id"] in cand_ids
+                        or other.get("internal_junction_road")):
+                    continue
+                if other["src_i"] == i or resolve(other["src_i"]) == i:
+                    other["pretrim_src"] = float(
+                        other.get("trim_start") or 0.0)
+                if other["dst_i"] == i or resolve(other["dst_i"]) == i:
+                    other["pretrim_dst"] = float(other.get("trim_end") or 0.0)
         merged[dst] = src
+
+    out = []
     for r in roads:
         if r["road_id"] in cand_ids:
             continue
@@ -116,30 +153,49 @@ def collapse_short_roads(roads: list[dict]) -> list[dict]:
             continue  # new self-loop → drop (collapse_short_road.rs:107)
         r = dict(r, src_i=src, dst_i=dst)
         out.append(r)
+    if imerges is not None:
+        for absorbed in merged:
+            imerges[absorbed] = resolve(absorbed)
     return out
 
 
 def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
-    """T2 (operations/collapse_intersection.rs:11-100): splice the two
+    """T2 (transform/collapse_intersections.rs:9-87): splice the two
     roads of a 2-road intersection into one when lane specs, name,
-    highway type and layer all match and they aren't opposing oneways.
-    Keeps the first road's id; geometry concatenated + RDP ε=1.0."""
+    highway type, layer and placement all match, neither road carries a
+    turn restriction, the junction has no pedestrian crossing, and they
+    aren't opposing oneways. Keeps the first road's id; geometry
+    concatenated + RDP ε=1.0."""
     by_id = {r["road_id"]: r for r in roads}
     incident: dict[int, list[int]] = {}
+    crossing_is: set[int] = set()
     for r in roads:
         incident.setdefault(r["src_i"], []).append(r["road_id"])
         incident.setdefault(r["dst_i"], []).append(r["road_id"])
+        if r.get("src_has_crossing"):
+            crossing_is.add(r["src_i"])
+        if r.get("dst_has_crossing"):
+            crossing_is.add(r["dst_i"])
 
     for i_id in sorted(incident):
+        if i_id in crossing_is:
+            continue  # collapse_intersections.rs:12-14
         rids = incident.get(i_id, [])
         rids = [rid for rid in rids if rid in by_id]
         if len(rids) != 2 or rids[0] == rids[1]:
             continue
         a, b = by_id[rids[0]], by_id[rids[1]]
+        if a.get("has_restriction") or b.get("has_restriction"):
+            continue  # collapse_intersections.rs:41-47
         if (a["lane_specs_json"] != b["lane_specs_json"]
                 or a.get("name") != b.get("name")
                 or a["highway_type"] != b["highway_type"]
-                or a.get("layer", 0) != b.get("layer", 0)):
+                or a.get("layer", 0) != b.get("layer", 0)
+                # placement must be consistent and equal
+                # (collapse_intersections.rs:74-85; shift is our
+                # Consistent-placement scalar)
+                or (a.get("placement_shift") or 0.0)
+                != (b.get("placement_shift") or 0.0)):
             continue
         # opposing oneways can't splice (collapse_intersection.rs:24-32:
         # endpoint multiset must have 3 distinct, i.e. not a loop pair)
@@ -147,6 +203,20 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
         if len(ends) != 3:
             continue
         ow_a, ow_b = a.get("oneway_dir", ""), b.get("oneway_dir", "")
+
+        def _flipped(r):
+            # reversing a road swaps every per-end attribute
+            return dict(
+                r, src_i=r["dst_i"], dst_i=r["src_i"],
+                src_is_edge=r.get("dst_is_edge"),
+                dst_is_edge=r.get("src_is_edge"),
+                src_has_crossing=r.get("dst_has_crossing"),
+                dst_has_crossing=r.get("src_has_crossing"),
+                trim_start=r.get("trim_end"), trim_end=r.get("trim_start"),
+                pretrim_src=r.get("pretrim_dst"),
+                pretrim_dst=r.get("pretrim_src"),
+            )
+
         # orient: a must END at i, b must START at i (flip as needed);
         # flipping a oneway road reverses its traffic — only allowed for
         # bidirectional roads, else require compatible orientation.
@@ -162,18 +232,24 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
                     continue
             else:
                 xy_a = xy_a[::-1]
-                a = dict(a, src_i=a["dst_i"], dst_i=a["src_i"])
+                a = _flipped(a)
         if b["src_i"] != i_id:
             if ow_b:
                 continue
             xy_b = xy_b[::-1]
-            b = dict(b, src_i=b["dst_i"], dst_i=b["src_i"])
+            b = _flipped(b)
         if ow_a != ow_b and not (ow_a == "" or ow_b == ""):
             continue
         new_xy = np.vstack([xy_a, xy_b[1:]])
         new_xy = simplify_rdp(new_xy, rdp_eps)
         merged = dict(a)
         merged["dst_i"] = b["dst_i"]
+        # the merged road's dst end is b's dst end — carry its
+        # per-end attributes
+        merged["dst_is_edge"] = b.get("dst_is_edge")
+        merged["dst_has_crossing"] = b.get("dst_has_crossing")
+        merged["trim_end"] = b.get("trim_end")
+        merged["pretrim_dst"] = b.get("pretrim_dst")
         merged["xy"] = new_xy.ravel().tolist()
         merged["osm_way_ids"] = sorted(
             set(a.get("osm_way_ids", [a["way_id"]]))
@@ -267,16 +343,35 @@ def zip_sidepaths(roads: list[dict], max_dist_m: float = 30.0) -> list[dict]:
 
 
 def apply_standard_transforms(roads: list[dict],
-                              with_sidepath_zip: bool = False) -> list[dict]:
-    """T4 then the standard list T1, T2, T1 (transform/mod.rs:22-29);
-    T3 sidepath zipping is opt-in, matching the reference's experimental
-    toggle (osm2streets-py/src/lib.rs:90-99)."""
-    roads = remove_disconnected(roads)
+                              with_sidepath_zip: bool = False,
+                              imerges: dict[int, int] | None = None,
+                              with_remove_disconnected: bool = True,
+                              ) -> list[dict]:
+    """The standard list T1, T2, T1 (transform/mod.rs:21-29 —
+    standard_for_clipped_areas deliberately does NOT remove
+    disconnected roads); T4 removal and T3 sidepath zipping are opt-in
+    extras (RemoveDisconnectedRoads exists as a separate Transformation;
+    zipping matches osm2streets-py/src/lib.rs:90-99). `imerges`
+    (optional dict) collects absorbed→survivor intersection merges
+    across both T1 passes."""
+    if with_remove_disconnected:
+        roads = remove_disconnected(roads)
     if with_sidepath_zip:
         roads = zip_sidepaths(roads)
-    roads = collapse_short_roads(roads)
+    roads = collapse_short_roads(roads, imerges)
     roads = collapse_degenerate(roads)
-    roads = collapse_short_roads(roads)
+    roads = collapse_short_roads(roads, imerges)
+    if imerges is not None:
+        # close chains across the two passes (dst of pass 1 may itself
+        # be absorbed in pass 2)
+        def _resolve(i):
+            seen = set()
+            while i in imerges and i not in seen:
+                seen.add(i)
+                i = imerges[i]
+            return i
+        for k in list(imerges):
+            imerges[k] = _resolve(imerges[k])
     return roads
 
 
@@ -297,16 +392,34 @@ _ROAD_FIELDS = [
     ("too_short", BooleanType()),
     ("osm_way_ids", ArrayType(LongType())),
     ("lon0", DoubleType()), ("lat0", DoubleType()),
+    # per-end metadata consumed by the kernels (all nullable):
+    # MapEdge guard, T2 crossing guard, T2 placement guard, pass-1
+    # trims feeding the trim_roads_for_merging memo
+    ("src_is_edge", BooleanType()), ("dst_is_edge", BooleanType()),
+    ("src_has_crossing", BooleanType()),
+    ("dst_has_crossing", BooleanType()),
+    ("has_restriction", BooleanType()),
+    ("placement_shift", DoubleType()),
+    ("trim_start", DoubleType()), ("trim_end", DoubleType()),
+]
+
+# output = roads (+pretrim memos) UNION intersection-merge records:
+# row_kind='road' carries road fields; row_kind='imerge' carries
+# src_i=survivor, dst_i=absorbed and nulls elsewhere
+_OUT_EXTRA = [
+    ("row_kind", StringType()),
+    ("pretrim_src", DoubleType()), ("pretrim_dst", DoubleType()),
 ]
 
 TRANSFORM_SCHEMA = StructType(
     [StructField("doc_id", StringType())]
-    + [StructField(n, t) for n, t in _ROAD_FIELDS]
+    + [StructField(n, t) for n, t in _ROAD_FIELDS + _OUT_EXTRA]
 )
 
 
 def _transform_doc(doc_id: str, pdf: pd.DataFrame,
-                   with_sidepath_zip: bool = False) -> pd.DataFrame:
+                   with_sidepath_zip: bool = False,
+                   with_remove_disconnected: bool = True) -> pd.DataFrame:
     # Arrow batch row order is nondeterministic; kernels must not depend
     # on it (e.g. T2 keeps the FIRST road's id) — sort by road_id first
     pdf = pdf.sort_values("road_id")
@@ -317,25 +430,59 @@ def _transform_doc(doc_id: str, pdf: pd.DataFrame,
             r["osm_way_ids"] = [r["way_id"]]
         else:
             r["osm_way_ids"] = list(r["osm_way_ids"])
-    roads = apply_standard_transforms(roads, with_sidepath_zip)
-    cols = [n for n, _ in _ROAD_FIELDS]
-    data = {"doc_id": [doc_id] * len(roads)}
+    imerges: dict[int, int] = {}
+    roads = apply_standard_transforms(roads, with_sidepath_zip, imerges,
+                                      with_remove_disconnected)
+    cols = [n for n, _ in _ROAD_FIELDS + _OUT_EXTRA]
+    data = {"doc_id": [doc_id] * (len(roads) + len(imerges))}
+    long_cols = {n for n, t in _ROAD_FIELDS if isinstance(t, LongType)}
     for c in cols:
-        data[c] = [r.get(c) for r in roads]
+        vals = [r.get(c) for r in roads]
+        if c == "row_kind":
+            vals = ["road"] * len(roads) + ["imerge"] * len(imerges)
+        elif c == "src_i":
+            vals += [surv for _, surv in sorted(imerges.items())]
+        elif c == "dst_i":
+            vals += [absd for absd, _ in sorted(imerges.items())]
+        else:
+            vals += [None] * len(imerges)
+        if c in long_cols:
+            # nullable Int64: mixing None (imerge rows) with int64 ids
+            # in an object->float64 column silently mangles xxhash64
+            # ids beyond 2^53
+            data[c] = pd.array(vals, dtype="Int64")
+        else:
+            data[c] = vals
     return pd.DataFrame(data)
 
 
 def run_transforms(roads: DataFrame,
-                   with_sidepath_zip: bool = False) -> DataFrame:
-    """Per-doc T4[+T3]+T1+T2+T1. Input needs the columns in _ROAD_FIELDS.
+                   with_sidepath_zip: bool = False,
+                   with_remove_disconnected: bool = True) -> DataFrame:
+    """Per-doc T4[+T3]+T1+T2+T1. Input needs the columns in _ROAD_FIELDS
+    (per-end metadata columns optional — filled with nulls). Output has
+    row_kind='road' rows (the surviving roads, with pretrim memos) and
+    row_kind='imerge' rows (src_i=surviving i, dst_i=absorbed i).
     Same mapInPandas-with-in-batch-groupby shape as run_t6 (docs are the
     group; payload bounded by doc size / upstream cell split)."""
     cols = ["doc_id"] + [n for n, _ in _ROAD_FIELDS]
     src = roads
     if "osm_way_ids" not in src.columns:
         src = src.withColumn("osm_way_ids", F.array("way_id"))
-    if "too_short" not in src.columns:
-        src = src.withColumn("too_short", F.lit(False))
+    defaults = {
+        "too_short": F.lit(False),
+        "src_is_edge": F.lit(None).cast("boolean"),
+        "dst_is_edge": F.lit(None).cast("boolean"),
+        "src_has_crossing": F.lit(None).cast("boolean"),
+        "dst_has_crossing": F.lit(None).cast("boolean"),
+        "has_restriction": F.lit(None).cast("boolean"),
+        "placement_shift": F.lit(None).cast("double"),
+        "trim_start": F.lit(None).cast("double"),
+        "trim_end": F.lit(None).cast("double"),
+    }
+    for name, default in defaults.items():
+        if name not in src.columns:
+            src = src.withColumn(name, default)
     spark = src.sparkSession
     n = spark.sparkContext.defaultParallelism * 4
 
@@ -345,7 +492,8 @@ def run_transforms(roads: DataFrame,
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         outs = [
-            _transform_doc(doc_id, g, with_sidepath_zip)
+            _transform_doc(doc_id, g, with_sidepath_zip,
+                           with_remove_disconnected)
             for doc_id, g in pdf.groupby("doc_id", sort=False)
         ]
         yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]

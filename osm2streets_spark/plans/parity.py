@@ -197,10 +197,13 @@ def run_reference_parity(spark, areas: list[str] | None = None) -> dict:
         docs = reference_documents(spark, group).repartition(
             max(spark.sparkContext.defaultParallelism, len(group)), "doc_id")
         # reference MapConfig::default(): separate sidewalks/crossings
-        # kept, no sidewalk inference (osm2lanes/src/lib.rs:588)
+        # kept, no sidewalk inference (osm2lanes/src/lib.rs:588);
+        # standard_for_clipped_areas keeps disconnected roads
+        # (transform/mod.rs:21-29)
         net = build_street_network(
             spark, docs,
-            cfg=MapConfig(driving_side=side, inferred_sidewalks=False))
+            cfg=MapConfig(driving_side=side, inferred_sidewalks=False,
+                          remove_disconnected=False))
         feats = (net["features"]
                  .select("doc_id", "feature_json")
                  .groupBy("doc_id")

@@ -97,17 +97,60 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     feats = node_features(nodes)
     restr = restriction_relations(relations)
     resolved = resolve_restrictions(restr, nodes, roads)
-    restr_by_i = restrictions_by_intersection(resolved)
 
+    # per-end metadata for the T6 terminus rule and the transform kernel
+    # guards (terminus.rs:16-29 MapEdge extension,
+    # collapse_short_road.rs:24-28 MapEdge, collapse_intersections.rs
+    # :12-14 crossing, :41-47 restrictions)
+    edge_flag = ints_v0.select(
+        "doc_id", "i_id", (F.col("kind_hint") == "MapEdge").alias("_e"))
+    crossing_flag = feats.where(F.col("feature") == "crossing").select(
+        "doc_id", F.col("node_id").alias("osm_node_id"),
+        F.lit(True).alias("_x"),
+    ).join(ints_v0.select("doc_id", "i_id", "osm_node_id"),
+           ["doc_id", "osm_node_id"]).select("doc_id", "i_id", "_x")
+    for side, col in (("src", "src_i"), ("dst", "dst_i")):
+        roads = roads.join(
+            edge_flag.select("doc_id", F.col("i_id").alias(col),
+                             F.col("_e").alias(f"{side}_is_edge")),
+            ["doc_id", col], "left")
+        roads = roads.join(
+            crossing_flag.select("doc_id", F.col("i_id").alias(col),
+                                 F.col("_x").alias(f"{side}_has_crossing")),
+            ["doc_id", col], "left")
+    roads = roads.persist()
+
+    imerges = None
     if transforms:
         if two_pass_t6:
             # pass 1: trims only, to find trim-annihilated roads
             # (update_geometry.rs:58-63 → CollapseShortRoads candidates)
+            # and to feed the trim_roads_for_merging memo — keep
+            # trim_start/trim_end for the transform kernel
             ends1 = build_road_ends(roads, None, cfg.driving_side)
             trims1 = run_t6(ends1, trims_only=True)
             roads = apply_trims(roads, trims1).drop(
-                "trim_start", "trim_end", "center_xy", "trimmed_length")
-        roads = run_transforms(roads, cfg.zip_sidepaths).persist()
+                "center_xy", "trimmed_length")
+        restricted_roads = resolved.select(
+            "doc_id", F.explode(F.array("from_road", "to_road"))
+            .alias("road_id")).distinct() \
+            .withColumn("has_restriction", F.lit(True))
+        roads = roads.join(restricted_roads, ["doc_id", "road_id"], "left")
+
+        tout = run_transforms(roads, cfg.zip_sidepaths,
+                              cfg.remove_disconnected).persist()
+        roads = tout.where(F.col("row_kind") == "road").drop("row_kind")
+        imerges = tout.where(F.col("row_kind") == "imerge").select(
+            "doc_id", F.col("src_i").alias("surviving_i"),
+            F.col("dst_i").alias("absorbed_i"))
+
+        # re-resolve turn restrictions AFTER the transforms: T2 splices
+        # roads (from/to ids change), T1 merges intersections (via ids
+        # change) — resolving against the pre-transform graph silently
+        # drops them (round-1 VERDICT "What's wrong" #4)
+        resolved = resolve_restrictions(restr, nodes, roads,
+                                        imerges=imerges)
+    restr_by_i = restrictions_by_intersection(resolved)
     ends = build_road_ends(roads, restr_by_i, cfg.driving_side)
     # pass-2 trims feed both the road rebuild and the intersections
     # table; roads_final feeds the render and the live-intersection
@@ -125,7 +168,8 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                        F.col("min_lat").alias("lat0")),
         "doc_id",
     )
-    ints_final = finalize_intersections(ints, trims, feats)
+    ints_final = finalize_intersections(ints, trims, feats,
+                                        imerges=imerges, ints_v0=ints_v0)
 
     road_feats = render_roads(roads_final)
     int_feats = render_intersections(ints_final)

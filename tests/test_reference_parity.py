@@ -1,0 +1,54 @@
+"""Golden parity against the REAL reference fixtures
+(/root/reference/tests/src/*) — the reference's own snapshot corpus
+(tests/src/lib.rs:17-90). The full 29-area sweep lives in
+scripts/reference_parity.py (writes FIXTURES_PARITY.md); this module
+keeps a fast representative subset green in CI: small areas plus one
+of each hard class (ramp junction, roundabout, sausage link, clipped
+highway mesh)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm2streets_spark.plans.parity import run_reference_parity
+
+AREAS = [
+    "tiny_loop",            # loop street + clip
+    "tiny_roundabout",      # junction=roundabout oneway implication
+    "degenerate_bug",       # degenerate collapse chain
+    "seattle_triangle",     # signalized crossings + separate sidewalks
+    "oneway_loop",          # oneway service loops
+    "aurora_sausage_link",  # T1 collapse + pretrimmed geometry memo
+]
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    return run_reference_parity(spark, AREAS)
+
+
+@pytest.mark.parametrize("area", AREAS)
+def test_reference_area_parity(results, area):
+    m = results[area]
+    assert m["pass"], (
+        f"{area}: roads {m['golden_roads']}/{m['our_roads']} "
+        f"ints {m['golden_ints']}/{m['our_ints']} "
+        f"int%={m['int_match_pct']} road%={m['road_match_pct']} "
+        f"ctrl%={m['control_agree_pct']} kind%={m['kind_agree_pct']}")
+
+
+def test_span_sequence_passthrough(spark):
+    """north_rule per-row invariant on REAL payloads: the output
+    document table preserves the input span sequence exactly."""
+    from osm2streets_spark.sources.reference_fixtures import (
+        reference_documents)
+    from osm2streets_spark.plans.pipeline import build_street_network
+
+    docs = reference_documents(spark, ["tiny_loop"])
+    net = build_street_network(spark, docs)
+    inp = docs.collect()[0]
+    out = net["output_documents"].collect()[0]
+    assert [tuple(s) for s in inp.spans] == [tuple(s) for s in out.spans]
