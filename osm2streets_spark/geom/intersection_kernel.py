@@ -204,7 +204,8 @@ def compute_trims(roads_cw: list[dict]) -> dict:
     return trims
 
 
-def compute_trims_ex(roads_cw: list[dict]) -> tuple[dict, str]:
+def compute_trims_ex(roads_cw: list[dict],
+                     edges_full: list | None = None) -> tuple[dict, str]:
     """→ ({road_key: trim_meters}, mode). road_key = (road_id,
     is_src_end); mode ∈ {'terminus','degenerate','ramp','general'}.
 
@@ -231,7 +232,8 @@ def compute_trims_ex(roads_cw: list[dict]) -> tuple[dict, str]:
     if rt is not None:
         return rt, "ramp"
 
-    edges = _cw_edges(roads_cw)
+    edges = list(edges_full) if edges_full is not None \
+        else _cw_edges(roads_cw)
     edges.append(edges[0])
     lengths = {r["key"]: polyline_length(r["xy"]) for r in roads_cw}
     for (ra, ea), (rb, eb) in zip(edges, edges[1:]):
@@ -314,23 +316,27 @@ def terminus_geometry(xy: np.ndarray, width: float,
     return float(trim), ring
 
 
-def _trimmed_edges(roads_cw: list[dict], trims: dict):
+def _trimmed_edges(roads_cw: list[dict], trims: dict,
+                   edges_full: list | None = None):
     """Edges of the TRIMMED centers in clockwise order, away-pointing,
-    plus per-edge bookkeeping for polygon_from_corners."""
-    from .core import slice_between
-
+    plus per-edge bookkeeping for polygon_from_corners. Reuses the
+    untrimmed edge polylines from the trim pass when the trim is 0."""
     out = []
-    for r in roads_cw:
+    for i, r in enumerate(roads_cw):
         half = max(r["width"], 0.5) / 2.0
         length = polyline_length(r["xy"])
         trim = min(trims.get(r["key"], 0.0), length - 0.01)
-        center = slice_between(r["xy"], max(trim, 0.0), length) \
-            if trim > 0 else r["xy"]
-        for sign in (-half, half):  # right_in then left_in (cw order)
-            out.append({
-                "road": r, "pl": shift_polyline(center, sign),
-                "orig_len": length,
-            })
+        if trim > 0:
+            center = slice_between(r["xy"], trim, length)
+            pls = (shift_polyline(center, -half),
+                   shift_polyline(center, half))
+        elif edges_full is not None:
+            pls = (edges_full[2 * i][1], edges_full[2 * i + 1][1])
+        else:
+            pls = (shift_polyline(r["xy"], -half),
+                   shift_polyline(r["xy"], half))
+        for pl in pls:  # right_in then left_in (cw order)
+            out.append({"road": r, "pl": pl, "orig_len": length})
     return out
 
 
@@ -344,7 +350,8 @@ def _cap_corners_ext(xy: np.ndarray, trim: float, width: float):
 
 
 def intersection_polygon(roads_cw: list[dict], trims: dict,
-                         mode: str = "general") -> np.ndarray:
+                         mode: str = "general",
+                         edges_full: list | None = None) -> np.ndarray:
     """Closed ring for the junction area.
 
     n==1: terminus square (terminus.rs — trim handled by caller via
@@ -389,7 +396,7 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
             return circle_ring(np.mean(np.array(endpts), axis=0), 3.0)
         return ring
 
-    edges = _trimmed_edges(roads_cw, trims)
+    edges = _trimmed_edges(roads_cw, trims, edges_full)
     edges.append(edges[0])
     endpts = []
     for one, two in zip(edges, edges[1:]):
@@ -418,6 +425,157 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
     if len(ring) < 4:  # fallback: reference's 3 m circle (intersection.rs:208)
         return circle_ring(np.mean(np.array(endpts), axis=0), 3.0)
     return ring
+
+
+# ---------------------------------------------------------------------------
+# sidewalk corners (render/intersection_markings.rs:43-135)
+# ---------------------------------------------------------------------------
+
+def _ring_positions(ring: np.ndarray):
+    closed = ring
+    if not np.allclose(closed[0], closed[-1]):
+        closed = np.vstack([closed, closed[0]])
+    cl = cumulative_lengths(closed)
+    return closed, cl
+
+
+def _project_on_ring(closed: np.ndarray, cl: np.ndarray, pt: np.ndarray):
+    """(perimeter position, snapped point) of the closest ring point."""
+    best = (None, None, float("inf"))
+    for i in range(len(closed) - 1):
+        a, b = closed[i], closed[i + 1]
+        ab = b - a
+        ln2 = float(ab @ ab)
+        t = 0.0 if ln2 == 0 else float(np.clip((pt - a) @ ab / ln2, 0, 1))
+        q = a + ab * t
+        d = float(np.hypot(*(pt - q)))
+        if d < best[2]:
+            best = (cl[i] + t * math.sqrt(ln2), q, d)
+    return best[0], best[1]
+
+
+def _ring_shorter_slice(ring: np.ndarray, a: np.ndarray,
+                        b: np.ndarray) -> list | None:
+    """Points along the ring between a and b, taking the shorter arc
+    (geom Ring::get_shorter_slice_btwn)."""
+    closed, cl = _ring_positions(ring)
+    total = cl[-1]
+    if total <= 0:
+        return None
+    pa, qa = _project_on_ring(closed, cl, np.asarray(a, dtype=float))
+    pb, qb = _project_on_ring(closed, cl, np.asarray(b, dtype=float))
+    if pa is None or pb is None:
+        return None
+
+    def walk(p0, p1):
+        # vertices with perimeter position strictly between p0 and p1
+        pts = [qa if p0 == pa else qb]
+        pos = p0
+        length = (p1 - p0) % total
+        verts = [(c % total, closed[i]) for i, c in enumerate(cl[:-1])]
+        between = sorted(
+            (((c - p0) % total), v) for c, v in verts
+            if 0 < ((c - p0) % total) < length)
+        pts.extend(v for _, v in between)
+        pts.append(qb if p1 == pb else qa)
+        return pts, length
+
+    fwd, len_f = walk(pa, pb)
+    back, len_b = walk(pb, pa)
+    if len_f <= len_b:
+        return fwd
+    return list(reversed(back))
+
+
+def _point_in_ring(ring: np.ndarray, pt) -> bool:
+    closed, _ = _ring_positions(ring)
+    x, y = float(pt[0]), float(pt[1])
+    inside = False
+    for i in range(len(closed) - 1):
+        x1, y1 = closed[i]
+        x2, y2 = closed[i + 1]
+        if (y1 > y) != (y2 > y):
+            xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xi > x:
+                inside = not inside
+    return inside
+
+
+def _infinite_lines_meet(p0, p1, q0, q1):
+    d0 = p1 - p0
+    d1 = q1 - q0
+    denom = d0[0] * d1[1] - d0[1] * d1[0]
+    if abs(denom) < 1e-12:
+        return None
+    t = ((q0[0] - p0[0]) * d1[1] - (q0[1] - p0[1]) * d1[0]) / denom
+    return p0 + d0 * t
+
+
+WALKABLE = ("sidewalk", "shoulder")
+
+
+def sidewalk_corners(ends: list[dict], ring: np.ndarray) -> list[np.ndarray]:
+    """make_sidewalk_corners (render/intersection_markings.rs:43-135):
+    for each clockwise-adjacent pair of road edges from different roads
+    whose outer lanes are both sidewalks/shoulders (roads with more
+    than just that lane), fill the corner polygon between the outer
+    edge endpoints (walking the shorter arc of the intersection ring)
+    and the inner sidewalk edges (plus their projected meet point when
+    it falls inside the junction).
+
+    ends: dicts with xy (away-pointing TRIMMED center), width, specs
+    (lane dict list, left-to-right in travel direction), is_src_end,
+    road_id, key."""
+    roads_cw = sort_roads_cw(ends)
+    edges = []
+    for r in roads_cw:
+        half = max(r["width"], 0.5) / 2.0
+        specs = r["specs"]
+        # into-frame right edge pairs with specs[0] at a src end and
+        # specs[-1] at a dst end (road.rs:574-599 RoadEdge::calculate)
+        right_lane = specs[0] if r["is_src_end"] else specs[-1]
+        left_lane = specs[-1] if r["is_src_end"] else specs[0]
+        edges.append({"r": r, "pl": shift_polyline(r["xy"], -half),
+                      "lane": right_lane, "side": -1.0})
+        edges.append({"r": r, "pl": shift_polyline(r["xy"], half),
+                      "lane": left_lane, "side": 1.0})
+    if not edges:
+        return []
+    edges.append(edges[0])
+    corners = []
+    for one, two in zip(edges, edges[1:]):
+        if one["r"]["road_id"] == two["r"]["road_id"]:
+            continue
+        if one["lane"]["lt"] not in WALKABLE \
+                or two["lane"]["lt"] not in WALKABLE:
+            continue
+        if len(one["r"]["specs"]) == 1 or len(two["r"]["specs"]) == 1:
+            continue
+        c1 = one["pl"][0]
+        c2 = two["pl"][0]
+        pts = _ring_shorter_slice(ring, c1, c2)
+        if pts is None:
+            continue
+        # inner sides of each sidewalk: shift inward by the lane width
+        w1 = float(one["lane"].get("width") or 2.0)
+        w2 = float(two["lane"].get("width") or 2.0)
+        h1 = max(one["r"]["width"], 0.5) / 2.0
+        h2 = max(two["r"]["width"], 0.5) / 2.0
+        inner1 = shift_polyline(one["r"]["xy"], one["side"] * (h1 - w1))
+        inner2 = shift_polyline(two["r"]["xy"], two["side"] * (h2 - w2))
+        if len(inner1) < 2 or len(inner2) < 2:
+            continue
+        meet = _infinite_lines_meet(inner1[1], inner1[0],
+                                    inner2[1], inner2[0])
+        poly = list(pts) + [inner2[0]]
+        if meet is not None and _point_in_ring(ring, meet):
+            poly.append(meet)
+        poly.append(inner1[0])
+        poly.append(poly[0])
+        arr = dedupe_consecutive(np.asarray(poly, dtype=float))
+        if len(arr) >= 4:
+            corners.append(arr)
+    return corners
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,37 @@ SHARED_USE = "shared_use"
 FWD = "forward"
 BACK = "backward"
 
+# access values that deny general motor traffic outright — these ways
+# are not driveable (Road::is_driveable false, road.rs:217-221;
+# observed on the leeds_cycleway golden: access=no / delivery service
+# roads are Connection, never Terminus/Fork). access=private/destination
+# remain DRIVEABLE (service_road_loop golden: private oneway loops form
+# Fork/Intersection kinds) but still distinguish lane specs — the
+# reference's LaneSpec embeds the raw muv Lane (osm2lanes lib.rs:289),
+# so any access difference breaks lane-spec equality in T2.
+_CAR_DENIED = {"no", "delivery", "agricultural", "forestry", "emergency",
+               "permit", "customers"}
+_CAR_UNREMARKABLE = {None, "yes", "designated", "permissive"}
+
+
+def car_access_value(tags: dict) -> str | None:
+    for key in ("motor_vehicle", "vehicle", "access"):
+        v = tags.get(key)
+        if v is not None:
+            return v
+    return None
+
+
+def car_access_blocked(tags: dict) -> bool:
+    """True when general motor traffic cannot use the way at all."""
+    return car_access_value(tags) in _CAR_DENIED
+
+
+def _psv_designated(tags: dict) -> bool:
+    return (tags.get("psv") in ("yes", "designated")
+            or tags.get("bus") in ("yes", "designated")
+            or bool(tags.get("bus:lanes")))
+
 TO_CHAR = {
     DRIVING: "d", PARKING: "p", SIDEWALK: "s", SHOULDER: "S",
     BIKING: "b", BUS: "B", SHARED_LEFT_TURN: "C", CONSTRUCTION: "x",
@@ -254,10 +285,26 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             n_fwd = n_lanes - n_back
 
     lane_lt = BUS if hw == "busway" else DRIVING
+    lane_subtype = ""
+    av = car_access_value(tags)
+    if lane_lt == DRIVING and av not in _CAR_UNREMARKABLE:
+        if av in _CAR_DENIED and _psv_designated(tags):
+            # cars banned but buses designated → the travel lanes are
+            # Bus lanes (muv mode ranking; leeds access=no psv=yes)
+            lane_lt = BUS
+        else:
+            # the lane carries its access restriction (muv Lane is
+            # embedded in the reference LaneSpec) — keeps T2 from
+            # splicing a public driveway with a private one (neukolln
+            # 674864364 vs 674864365); hard denials additionally set
+            # driveable=false in the lanes UDF
+            lane_subtype = f"access:{av}"
     w_drive = default_width(lane_lt, "", hw)
 
-    back_driving = [LaneSpec(lane_lt, BACK, w_drive) for _ in range(n_back)]
-    fwd_driving = [LaneSpec(lane_lt, FWD, w_drive) for _ in range(n_fwd)]
+    back_driving = [LaneSpec(lane_lt, BACK, w_drive, subtype=lane_subtype)
+                    for _ in range(n_back)]
+    fwd_driving = [LaneSpec(lane_lt, FWD, w_drive, subtype=lane_subtype)
+                   for _ in range(n_fwd)]
     if driving_side == "left":
         # LHT: forward traffic occupies the left half of the carriageway
         back_driving, fwd_driving = fwd_driving, back_driving
@@ -292,9 +339,24 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     w_bike = default_width(BIKING, "", hw)
 
     def parking(side: str) -> list[LaneSpec]:
+        # legacy schema: parking:lane:<side> = orientation
         val = tags.get(f"parking:lane:{side}") or tags.get("parking:lane:both")
         if val in ("parallel", "diagonal", "perpendicular"):
-            return [LaneSpec(PARKING, FWD, default_width(PARKING, "", hw), subtype=val)]
+            return [LaneSpec(PARKING, FWD, default_width(PARKING, "", hw),
+                             subtype=val)]
+        # current schema: parking:<side> = lane|street_side|... with
+        # parking:<side>:orientation (default parallel); 'no'/'separate'
+        # mean no lane here (muv parses this model — distinguishes e.g.
+        # neukolln's Thomasstraße segments for the T2 equality check)
+        val = tags.get(f"parking:{side}") or tags.get("parking:both")
+        if val in ("lane", "street_side", "on_kerb", "half_on_kerb",
+                   "shoulder"):
+            ori = (tags.get(f"parking:{side}:orientation")
+                   or tags.get("parking:both:orientation") or "parallel")
+            if ori not in ("parallel", "diagonal", "perpendicular"):
+                ori = "parallel"
+            return [LaneSpec(PARKING, FWD, default_width(PARKING, "", hw),
+                             subtype=ori)]
         return []
 
     park_left = parking("left")

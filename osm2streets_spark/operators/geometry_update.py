@@ -35,7 +35,7 @@ from ..geom.core import (
 )
 from ..geom.intersection_kernel import (
     sort_roads_cw, compute_trims_ex, intersection_polygon,
-    movements_and_kind, terminus_geometry,
+    movements_and_kind, terminus_geometry, _cw_edges,
 )
 
 M_PER_DEG = 111_319.490793
@@ -141,6 +141,7 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
             "other_i": int(getattr(row, "other_i", 0) or 0),
         })
     roads_cw = sort_roads_cw(roads)
+    edges_full = None
     if any(r["pretrim"] is not None for r in roads):
         # pretrimmed path (geometry/pretrimmed.rs:13-65): a T1 merge
         # recorded where each incident road was already trimmed — use
@@ -148,12 +149,14 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
         trims = {r["key"]: float(r["pretrim"] or 0.0) for r in roads_cw}
         mode = "general"
     else:
-        trims, mode = compute_trims_ex(roads_cw)
+        if len(roads_cw) >= 3:
+            edges_full = _cw_edges(roads_cw)
+        trims, mode = compute_trims_ex(roads_cw, edges_full)
     if trims_only:
         ring = None
         movements, kind = [], None
     else:
-        ring = intersection_polygon(roads_cw, trims, mode)
+        ring = intersection_polygon(roads_cw, trims, mode, edges_full)
         movements, kind = movements_and_kind(roads_cw, driving_side)
 
     rows = []
@@ -368,7 +371,9 @@ def apply_trims(roads: DataFrame, trims: DataFrame) -> DataFrame:
 def finalize_intersections(ints: DataFrame, trims: DataFrame,
                            features: DataFrame | None = None,
                            imerges: DataFrame | None = None,
-                           ints_v0: DataFrame | None = None) -> DataFrame:
+                           ints_v0: DataFrame | None = None,
+                           signalled_is: DataFrame | None = None
+                           ) -> DataFrame:
     """Assemble the final intersections table: polygon/kind/movements
     from the T6 kernel + control from feature nodes (J3 at-node case:
     signals on the junction node → Signalled, split_ways.rs:221-259).
@@ -385,12 +390,11 @@ def finalize_intersections(ints: DataFrame, trims: DataFrame,
     # node roster per final intersection: its own node + absorbed nodes
     roster = out.select("doc_id", "i_id", "osm_node_id")
     if imerges is not None and ints_v0 is not None:
-        absorbed_nodes = imerges.join(
-            ints_v0.select("doc_id",
-                           F.col("i_id").alias("absorbed_i"),
-                           "osm_node_id"),
-            ["doc_id", "absorbed_i"],
-        ).select("doc_id", F.col("surviving_i").alias("i_id"),
+        # T1 merges are sparse → broadcast; ints_v0 is never shuffled
+        absorbed_nodes = ints_v0.select(
+            "doc_id", F.col("i_id").alias("absorbed_i"), "osm_node_id",
+        ).join(imerges, ["doc_id", "absorbed_i"]) \
+         .select("doc_id", F.col("surviving_i").alias("i_id"),
                  "osm_node_id")
         roster = roster.unionByName(absorbed_nodes)
     roster = roster.where(
@@ -404,7 +408,9 @@ def finalize_intersections(ints: DataFrame, trims: DataFrame,
              .alias("crossing_kind"),
             "crossing_island",
         )
-        roster = roster.join(sig, ["doc_id", "osm_node_id"], "left")
+        # signal/crossing nodes are sparse → broadcast lookup
+        roster = roster.join(sig,
+                             ["doc_id", "osm_node_id"], "left")
     else:
         roster = roster.withColumn("has_signal", F.lit(False)) \
             .withColumn("crossing_kind", F.lit(None).cast("string")) \
@@ -430,17 +436,26 @@ def finalize_intersections(ints: DataFrame, trims: DataFrame,
     out = out.withColumn(
         "osm_node_ids",
         F.coalesce("osm_node_ids", F.array().cast("array<long>")))
+    if signalled_is is not None:
+        out = out.join(
+            signalled_is.withColumn("_way_signal",
+                                                F.lit(True)),
+            ["doc_id", "i_id"], "left")
+    else:
+        out = out.withColumn("_way_signal", F.lit(None).cast("boolean"))
 
-    # split_ways.rs:53-61: synthetic clip point (MapEdge) →
-    # Uncontrolled; traffic signal at any merged node → Signalled;
-    # every other real node → Signed (the default for ordinary
-    # junctions — NOT Uncontrolled)
+    # split_ways.rs:53-61 + :216-241: synthetic clip point (MapEdge) →
+    # Uncontrolled; traffic signal at any merged node, or tagged on an
+    # incoming way pointing here → Signalled; every other real node →
+    # Signed (the default for ordinary junctions — NOT Uncontrolled)
     out = out.withColumn(
         "control",
-        F.when(F.coalesce("_any_signal", F.lit(False)), F.lit("Signalled"))
+        F.when(F.col("kind_hint") == "MapEdge", F.lit("Uncontrolled"))
+         .when(F.coalesce("_any_signal", F.lit(False))
+               | F.coalesce("_way_signal", F.lit(False)), F.lit("Signalled"))
          .when(F.size("osm_node_ids") == 0, F.lit("Uncontrolled"))
          .otherwise(F.lit("Signed")),
-    ).drop("_any_signal")
+    ).drop("_any_signal", "_way_signal")
     # MapEdge wins over the kernel's classification (the reference skips
     # movement/kind updates for map edges, intersection.rs:286-290);
     # junctions with no surviving roads keep their hint

@@ -17,7 +17,7 @@ from pyspark.sql.types import (
 )
 
 from ..lanes import get_lane_specs_ltr, lanes_to_chars, dirs_to_chars
-from ..lanes.inference import oneway_for_driving, DRIVING
+from ..lanes.inference import oneway_for_driving, DRIVING, car_access_blocked
 from ..lanes.placement import placement_shift
 
 LANE_RESULT = StructType([
@@ -61,7 +61,9 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series,
         out["dir_chars"].append(dirs_to_chars(specs))
         # A2: total width = Σ lane widths (road.rs:303-308)
         out["total_width"].append(round(sum(s.width for s in specs), 6))
-        out["driveable"].append(any(s.lt == DRIVING for s in specs))
+        out["driveable"].append(
+            any(s.lt == DRIVING for s in specs)
+            and not car_access_blocked(tags))
         out["oneway_dir"].append(ow or "")
         out["placement_shift"].append(
             round(placement_shift(tags, specs, side or "right"), 6))

@@ -28,6 +28,9 @@ DASH_LEN = 1.0       # reference lane_markings.rs dashed pattern
 DASH_GAP = 1.5
 ARROW_STEP = 20.0
 ARROW_BUFFER = 5.0
+PARKING_SPOT_LEN = 8.0       # MapConfig parallel_street_parking_spot_length
+PARKING_VEHICLE_WIDTH = 3.0  # MapConfig vehicle_width_for_parking_spots
+HATCH_LEG = 1.0              # lane_markings.rs:261 leg_length
 
 
 def _linestring_feature(pl, lon0, lat0, props):
@@ -94,6 +97,11 @@ def _lane_markings(center_xy: pd.Series, total_width: pd.Series,
             w = float(s["width"])
             offset = acc + w / 2.0 - float(tw) / 2.0
             acc += w
+            if s["lt"] == "parking":
+                feats.extend(_parking_hatches(
+                    pl, offset, w, s.get("subtype") or "parallel",
+                    s.get("dir", "forward"), lo, la))
+                continue
             if s["lt"] not in ("driving", "bus", "biking"):
                 continue
             lane_c = shift_polyline(pl, offset)
@@ -103,6 +111,61 @@ def _lane_markings(center_xy: pd.Series, total_width: pd.Series,
                                  "lane": s["lt"]}))
         out.append(feats)
     return pd.Series(out)
+
+
+def _parking_hatches(pl, offset, width, orientation, lane_dir, lo, la):
+    """Parking-spot dividers (lane_markings.rs:245-361).
+
+    parallel (:245-287): a 3-leg T at every spot boundary — perp leg
+    into the lane, plus legs forward/back along it; diagonal (:289-327):
+    a ±45° stroke across the lane per vehicle width; perpendicular
+    (:330-361): a straight stroke across. No spots next to
+    intersections (floor(len/step) - 2)."""
+    from ..geom.core import interpolate_along
+
+    lane_c = shift_polyline(pl, offset)
+    total = polyline_length(lane_c)
+    step = PARKING_SPOT_LEN if orientation == "parallel" \
+        else PARKING_VEHICLE_WIDTH
+    spots = int(total / step) - 2
+    if spots < 1:
+        return []
+    cl = cumulative_lengths(lane_c)
+    # hatches push toward the lane's outer edge: the sign of the lane
+    # offset says which side of the road the lane sits on
+    out_sign = 1.0 if offset >= 0 else -1.0
+    feats = []
+    for idx in range(spots + 1):
+        d = step * (1.0 + idx)
+        pt = interpolate_along(lane_c, d)
+        i = min(int(np.searchsorted(cl, max(d, 1e-9))), len(lane_c) - 1)
+        t = lane_c[i] - lane_c[i - 1] if i > 0 else lane_c[1] - lane_c[0]
+        n = np.hypot(t[0], t[1]) or 1.0
+        t = t / n
+        perp = np.array([t[1], -t[0]]) * out_sign
+        t_pt = pt + perp * (width * 0.4)
+        if orientation == "parallel":
+            legs = [
+                (t_pt, t_pt - perp * HATCH_LEG),      # perp leg inward
+                (t_pt, t_pt + t * HATCH_LEG),         # upper leg
+                (t_pt, t_pt - t * HATCH_LEG),         # lower leg
+            ]
+        else:
+            stroke_dir = -perp
+            if orientation == "diagonal":
+                ang = np.pi / 4 if lane_dir == "forward" else -np.pi / 4
+                c, s_ = np.cos(ang), np.sin(ang)
+                stroke_dir = np.array([
+                    stroke_dir[0] * c - stroke_dir[1] * s_,
+                    stroke_dir[0] * s_ + stroke_dir[1] * c,
+                ])
+            inside_pt = t_pt + stroke_dir * (width * 0.9)
+            legs = [(t_pt, inside_pt)]
+        for a, b in legs:
+            feats.append(_linestring_feature(
+                np.array([a, b]), lo, la,
+                {"type": "parking hatch", "orientation": orientation}))
+    return feats
 
 
 @F.pandas_udf(StringType())

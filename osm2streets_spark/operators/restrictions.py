@@ -31,14 +31,14 @@ def resolve_restrictions(restrictions: DataFrame, nodes: DataFrame,
     absorbed_i), a via node whose intersection was absorbed resolves to
     the surviving intersection."""
     r = restrictions.where(F.col("via_node").isNotNull())
-    r = r.join(
-        nodes.select(
-            "doc_id", F.col("node_id").alias("via_node"),
-            F.round(F.col("lon") * QUANTUM).cast("long").alias("qx"),
-            F.round(F.col("lat") * QUANTUM).cast("long").alias("qy"),
-        ),
-        ["doc_id", "via_node"],
-    ).withColumn("i_id", F.xxhash64("doc_id", "qx", "qy"))
+    # broadcast the (sparse) restriction side: the nodes table is never
+    # shuffled for the via lookup
+    r = nodes.select(
+        "doc_id", F.col("node_id").alias("via_node"),
+        F.round(F.col("lon") * QUANTUM).cast("long").alias("qx"),
+        F.round(F.col("lat") * QUANTUM).cast("long").alias("qy"),
+    ).join(r, ["doc_id", "via_node"]) \
+     .withColumn("i_id", F.xxhash64("doc_id", "qx", "qy"))
     if imerges is not None:
         r = r.join(
             imerges.withColumnRenamed("absorbed_i", "i_id"),
@@ -66,9 +66,13 @@ def resolve_restrictions(restrictions: DataFrame, nodes: DataFrame,
         "doc_id", "i_id", F.col("way_id").alias("to_way"),
         F.col("road_id").alias("to_road"))
 
+    # restrictions are a sparse relation class: broadcast that side so
+    # the exploded incident frame (corpus-sized) is never shuffled —
+    # both joins run map-side over `incident`. (At 100 TB:
+    # doc_id-bucketed co-partitioned join instead.)
+    half = frm.join(r, ["doc_id", "i_id", "from_way"])
     out = (
-        r.join(frm, ["doc_id", "i_id", "from_way"])
-        .join(to, ["doc_id", "i_id", "to_way"])
+        to.join(half, ["doc_id", "i_id", "to_way"])
         .select("doc_id", "i_id", "restriction_type", "from_road", "to_road")
         .dropDuplicates()
     )

@@ -188,6 +188,14 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
         if a.get("has_restriction") or b.get("has_restriction"):
             continue  # collapse_intersections.rs:41-47
         if (a["lane_specs_json"] != b["lane_specs_json"]
+                # the reference LaneSpec embeds the raw muv Lane
+                # (osm2lanes lib.rs:289), so ANY lane-relevant tag
+                # difference (surface, smoothness, explicit oneway,
+                # service subtype, width…) breaks equality — the
+                # fingerprint mirrors that (goldens: neukolln sidewalk
+                # pair differing only in surface is NOT merged; tunnel
+                # difference IS merged)
+                or a.get("lane_fingerprint") != b.get("lane_fingerprint")
                 or a.get("name") != b.get("name")
                 or a["highway_type"] != b["highway_type"]
                 or a.get("layer", 0) != b.get("layer", 0)
@@ -401,6 +409,7 @@ _ROAD_FIELDS = [
     ("has_restriction", BooleanType()),
     ("placement_shift", DoubleType()),
     ("trim_start", DoubleType()), ("trim_end", DoubleType()),
+    ("lane_fingerprint", StringType()),
 ]
 
 # output = roads (+pretrim memos) UNION intersection-merge records:
@@ -479,6 +488,7 @@ def run_transforms(roads: DataFrame,
         "placement_shift": F.lit(None).cast("double"),
         "trim_start": F.lit(None).cast("double"),
         "trim_end": F.lit(None).cast("double"),
+        "lane_fingerprint": F.lit(None).cast("string"),
     }
     for name, default in defaults.items():
         if name not in src.columns:

@@ -49,7 +49,12 @@ def load_documents(spark: SparkSession, fixture_dir: str) -> DataFrame:
 
 
 def parse_stage(docs: DataFrame):
-    parsed = parse_documents(docs)
+    # persist the TALL parsed frame: nodes, ways AND relations all read
+    # from one cached XML pass. Caching only the nodes slice (round 1)
+    # silently re-ran the parse for every ways/relations consumer —
+    # the second restriction resolve and the way-signal path made that
+    # 3+ full parses. (At 100 TB this frame is the bronze Iceberg table.)
+    parsed = parse_documents(docs).persist()
     nodes, ways, relations = split_entities(parsed)
     return nodes, ways, relations
 
@@ -79,11 +84,14 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     intersection_features, features (union), output_documents (span
     passthrough)."""
     nodes, ways, relations = parse_stage(docs)
-    # nodes feed bounds, way-points, features and restrictions — persist
-    # so the XML parse (the one full-corpus Python pass) runs ONCE.
-    # (On a real deployment this is the bronze parquet/Iceberg table.)
+    # nodes additionally cached as a narrow slice (bounds, way points,
+    # features, restriction vias all hit it)
     nodes = nodes.persist()
-    roads, ints_v0, _ = graph_stage(nodes, ways, cfg)
+    roads, ints_v0, flagged = graph_stage(nodes, ways, cfg)
+    # ints_v0 feeds the final intersections, the T1-merge node roster
+    # and (in registry queries) degree/tile projections — cache the J1
+    # aggregation instead of re-running it per consumer
+    ints_v0 = ints_v0.persist()
 
     anchors = doc_bounds(nodes)
     roads = with_projected_geometry(roads, anchors)
@@ -96,29 +104,71 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
 
     feats = node_features(nodes)
     restr = restriction_relations(relations)
-    resolved = resolve_restrictions(restr, nodes, roads)
+    # tiny frame, but its subtree (relation pivot + via join) otherwise
+    # re-executes as the build side of the has_restriction broadcast
+    resolved = resolve_restrictions(restr, nodes, roads).persist()
+
+    # Traffic signals tagged on incoming ways, not at the junction node
+    # (split_ways.rs:216-241): a signal node interior to a road, with an
+    # explicit direction or on a driving-oneway, marks the road's
+    # downstream intersection Signalled.
+    from ..operators.split_ways import interior_point_road_map
+    interior = interior_point_road_map(flagged, roads)
+    sig_pts = feats.where(F.col("feature") == "traffic_signals").select(
+        "doc_id", "signal_dir",
+        F.round(F.col("lon") * 1e7).cast("long").alias("qx"),
+        F.round(F.col("lat") * 1e7).cast("long").alias("qy"),
+    )
+    # signals are a sparse feature class (~0.1% of nodes): broadcast the
+    # signal side so the interior-point explode and the roads table are
+    # never shuffled for this join. (At 100 TB both sides are bucketed
+    # by doc_id and this becomes a co-partitioned local join.)
+    sig_hits = interior.join(sig_pts, ["doc_id", "qx", "qy"])
+    sig_on_road = roads.select(
+        "doc_id", "road_id", "src_i", "dst_i", "oneway_dir",
+    ).join(sig_hits, ["doc_id", "road_id"])
+    sig_dir = F.when(F.col("signal_dir").isin("forward", "backward"),
+                     F.col("signal_dir")) \
+               .when(F.col("oneway_dir") != "", F.col("oneway_dir"))
+    way_signal_is = sig_on_road.select(
+        "doc_id", sig_dir.alias("_d"), "src_i", "dst_i",
+    ).where(F.col("_d").isNotNull()).select(
+        "doc_id",
+        F.when(F.col("_d") == "forward", F.col("dst_i"))
+         .otherwise(F.col("src_i")).alias("i_id"),
+    ).distinct()
 
     # per-end metadata for the T6 terminus rule and the transform kernel
     # guards (terminus.rs:16-29 MapEdge extension,
     # collapse_short_road.rs:24-28 MapEdge, collapse_intersections.rs
     # :12-14 crossing, :41-47 restrictions)
-    edge_flag = ints_v0.select(
-        "doc_id", "i_id", (F.col("kind_hint") == "MapEdge").alias("_e"))
+    # MapEdge flags need NO join at all: a clipped synthetic endpoint
+    # carries a negative node id (osm_xml.py boundary clip), so the
+    # road's own pt_node_ids column answers it. (Same blind spot as the
+    # reference for a real node exactly on the boundary,
+    # split_ways.rs:45-46 TODO.)
+    roads = roads.withColumn("_src_node", F.element_at("pt_node_ids", 1)) \
+                 .withColumn("_dst_node", F.element_at("pt_node_ids", -1)) \
+                 .withColumn("src_is_edge", F.col("_src_node") < 0) \
+                 .withColumn("dst_is_edge", F.col("_dst_node") < 0)
+    # crossing-at-junction flags: the endpoint node id IS the junction
+    # node — a broadcast of the sparse crossing-node set makes both
+    # lookups map-side (no exchange on roads)
     crossing_flag = feats.where(F.col("feature") == "crossing").select(
-        "doc_id", F.col("node_id").alias("osm_node_id"),
-        F.lit(True).alias("_x"),
-    ).join(ints_v0.select("doc_id", "i_id", "osm_node_id"),
-           ["doc_id", "osm_node_id"]).select("doc_id", "i_id", "_x")
-    for side, col in (("src", "src_i"), ("dst", "dst_i")):
+        "doc_id", F.col("node_id").alias("_cn"), F.lit(True).alias("_x"))
+    for side, ncol in (("src", "_src_node"), ("dst", "_dst_node")):
         roads = roads.join(
-            edge_flag.select("doc_id", F.col("i_id").alias(col),
-                             F.col("_e").alias(f"{side}_is_edge")),
-            ["doc_id", col], "left")
-        roads = roads.join(
-            crossing_flag.select("doc_id", F.col("i_id").alias(col),
-                                 F.col("_x").alias(f"{side}_has_crossing")),
-            ["doc_id", col], "left")
-    roads = roads.persist()
+            crossing_flag
+                        .withColumnRenamed("_cn", ncol)
+                        .withColumnRenamed("_x", f"{side}_has_crossing"),
+            ["doc_id", ncol], "left")
+    # localCheckpoint (lazy) = persist + LINEAGE TRUNCATION. The plan
+    # tree above this point is ~15 operators deep; Spark re-analyzes
+    # the whole tree on every downstream transformation, which made
+    # DAG CONSTRUCTION (driver Python, fully serial) the single
+    # largest cost of a run. At 100 TB this boundary is a silver
+    # Iceberg table; locally the checkpoint plays that role.
+    roads = roads.drop("_src_node", "_dst_node").localCheckpoint(eager=False)
 
     imerges = None
     if transforms:
@@ -135,10 +185,28 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
             "doc_id", F.explode(F.array("from_road", "to_road"))
             .alias("road_id")).distinct() \
             .withColumn("has_restriction", F.lit(True))
-        roads = roads.join(restricted_roads, ["doc_id", "road_id"], "left")
+        roads = roads.join(restricted_roads,
+                           ["doc_id", "road_id"], "left")
+        # lane-relevant raw-tag fingerprint for the T2 equality check —
+        # the reference compares LaneSpecs that EMBED the muv Lane
+        # (osm2lanes lib.rs:289), so surface/smoothness/oneway/service/
+        # width differences block splicing even when our lane model
+        # can't see them
+        lane_keys = ("surface", "smoothness", "oneway", "service",
+                     "width", "est_width", "maxspeed", "lanes",
+                     "tracktype")
+        from functools import reduce
+        roads = roads.withColumn(
+            "lane_fingerprint",
+            F.to_json(F.map_filter(
+                F.from_json("tags_json", "map<string,string>"),
+                lambda k, v: reduce(lambda x, y: x | y,
+                                    (k.startswith(p) for p in lane_keys)),
+            )))
 
         tout = run_transforms(roads, cfg.zip_sidepaths,
-                              cfg.remove_disconnected).persist()
+                              cfg.remove_disconnected) \
+            .localCheckpoint(eager=False)
         roads = tout.where(F.col("row_kind") == "road").drop("row_kind")
         imerges = tout.where(F.col("row_kind") == "imerge").select(
             "doc_id", F.col("src_i").alias("surviving_i"),
@@ -155,8 +223,8 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     # pass-2 trims feed both the road rebuild and the intersections
     # table; roads_final feeds the render and the live-intersection
     # semi-join — persist both to keep every UDF stage single-execution
-    trims = run_t6(ends).persist()
-    roads_final = apply_trims(roads, trims).persist()
+    trims = run_t6(ends).localCheckpoint(eager=False)
+    roads_final = apply_trims(roads, trims).localCheckpoint(eager=False)
 
     # intersections surviving the transforms = endpoints of final roads
     live_is = roads_final.select(
@@ -168,8 +236,16 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                        F.col("min_lat").alias("lat0")),
         "doc_id",
     )
+    if imerges is not None:
+        # a way-signal's target junction may have been absorbed by T1
+        way_signal_is = way_signal_is.join(
+            imerges.withColumnRenamed("absorbed_i", "i_id"),
+            ["doc_id", "i_id"], "left",
+        ).withColumn("i_id", F.coalesce("surviving_i", "i_id")) \
+         .drop("surviving_i").distinct()
     ints_final = finalize_intersections(ints, trims, feats,
-                                        imerges=imerges, ints_v0=ints_v0)
+                                        imerges=imerges, ints_v0=ints_v0,
+                                        signalled_is=way_signal_is)
 
     road_feats = render_roads(roads_final)
     int_feats = render_intersections(ints_final)

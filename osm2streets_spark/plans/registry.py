@@ -413,7 +413,16 @@ def queries() -> Q:
         )
         return render_intersection_markings(net["intersections"])
 
+    def s_sidewalk_corners(spark, sf_dir):
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs)
+        from ..operators.intersection_markings import (
+            render_sidewalk_corners,
+        )
+        return render_sidewalk_corners(net["roads"], net["intersections"])
+
     q.update({
+        "s_sidewalk_corners": s_sidewalk_corners,
         "sn_stop_lines": sn_stop_lines,
         "sn_via_way_restrictions": sn_via_way_restrictions,
         "sn_dual_carriageway": sn_dual_carriageway,
