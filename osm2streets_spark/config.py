@@ -39,6 +39,12 @@ class MapConfig:
     cell_zoom: int = 16           # base cell resolution (quadkey zoom)
     dense_cell_threshold: int = 512   # points per cell before adaptive split
     max_cell_zoom: int = 20
+    # per-doc transform kernel: a doc with more roads than this splits
+    # into ~10 km quadkey cells (zoom 12) with frozen-seam guards, so a
+    # single megacity document cannot pin one task (north_rule skew
+    # handling). Test/parity docs stay far below the threshold.
+    transform_split_threshold: int = 4000
+    transform_split_zoom: int = 12
 
 
 DEFAULT_CONFIG = MapConfig()

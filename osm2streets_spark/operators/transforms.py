@@ -123,7 +123,9 @@ def collapse_short_roads(roads: list[dict],
 
     cand_ids = set()
     edge_is = {r["src_i"] for r in roads if r.get("src_is_edge")} | \
-              {r["dst_i"] for r in roads if r.get("dst_is_edge")}
+              {r["dst_i"] for r in roads if r.get("dst_is_edge")} | \
+              {r["src_i"] for r in roads if r.get("src_frozen")} | \
+              {r["dst_i"] for r in roads if r.get("dst_frozen")}
     for r in candidates:
         src, dst = resolve(r["src_i"]), resolve(r["dst_i"])
         if src in edge_is or dst in edge_is:
@@ -172,9 +174,9 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
     for r in roads:
         incident.setdefault(r["src_i"], []).append(r["road_id"])
         incident.setdefault(r["dst_i"], []).append(r["road_id"])
-        if r.get("src_has_crossing"):
+        if r.get("src_has_crossing") or r.get("src_frozen"):
             crossing_is.add(r["src_i"])
-        if r.get("dst_has_crossing"):
+        if r.get("dst_has_crossing") or r.get("dst_frozen"):
             crossing_is.add(r["dst_i"])
 
     for i_id in sorted(incident):
@@ -362,7 +364,12 @@ def apply_standard_transforms(roads: list[dict],
     zipping matches osm2streets-py/src/lib.rs:90-99). `imerges`
     (optional dict) collects absorbed→survivor intersection merges
     across both T1 passes."""
-    if with_remove_disconnected:
+    # a cell-split dense doc must not run T4 per cell: components span
+    # cells. (At scale, component pruning for split docs is a separate
+    # doc-level pass over the edge list — cheap relative to geometry.)
+    doc_split = any(r.get("src_frozen") or r.get("dst_frozen")
+                    for r in roads)
+    if with_remove_disconnected and not doc_split:
         roads = remove_disconnected(roads)
     if with_sidepath_zip:
         roads = zip_sidepaths(roads)
@@ -410,6 +417,10 @@ _ROAD_FIELDS = [
     ("placement_shift", DoubleType()),
     ("trim_start", DoubleType()), ("trim_end", DoubleType()),
     ("lane_fingerprint", StringType()),
+    # dense-doc cell split: frozen-seam flags (an intersection whose
+    # incident roads span transform cells must not be collapsed — its
+    # other-cell roads are invisible to this kernel group)
+    ("src_frozen", BooleanType()), ("dst_frozen", BooleanType()),
 ]
 
 # output = roads (+pretrim memos) UNION intersection-merge records:
@@ -465,16 +476,28 @@ def _transform_doc(doc_id: str, pdf: pd.DataFrame,
     return pd.DataFrame(data)
 
 
+M_PER_DEG = 111_319.490793
+
+
 def run_transforms(roads: DataFrame,
                    with_sidepath_zip: bool = False,
-                   with_remove_disconnected: bool = True) -> DataFrame:
+                   with_remove_disconnected: bool = True,
+                   split_threshold: int = 4000,
+                   split_zoom: int = 12) -> DataFrame:
     """Per-doc T4[+T3]+T1+T2+T1. Input needs the columns in _ROAD_FIELDS
     (per-end metadata columns optional — filled with nulls). Output has
     row_kind='road' rows (the surviving roads, with pretrim memos) and
     row_kind='imerge' rows (src_i=surviving i, dst_i=absorbed i).
-    Same mapInPandas-with-in-batch-groupby shape as run_t6 (docs are the
-    group; payload bounded by doc size / upstream cell split)."""
-    cols = ["doc_id"] + [n for n, _ in _ROAD_FIELDS]
+
+    Skew: documents are the unit of parallelism, so a single megacity
+    doc would otherwise pin one task. Docs with more than
+    ``split_threshold`` roads split into ~10 km quadkey cells
+    (zoom ``split_zoom``) and the kernel runs per (doc, cell);
+    intersections whose incident roads span cells are FROZEN — no
+    collapse may touch them (their other-cell roads are invisible to
+    the group), and T4 is skipped for split docs (components span
+    cells). Same mapInPandas-with-in-batch-groupby shape as run_t6."""
+    cols = ["doc_id", "_tcell"] + [n for n, _ in _ROAD_FIELDS]
     src = roads
     if "osm_way_ids" not in src.columns:
         src = src.withColumn("osm_way_ids", F.array("way_id"))
@@ -489,10 +512,45 @@ def run_transforms(roads: DataFrame,
         "trim_start": F.lit(None).cast("double"),
         "trim_end": F.lit(None).cast("double"),
         "lane_fingerprint": F.lit(None).cast("string"),
+        "src_frozen": F.lit(None).cast("boolean"),
+        "dst_frozen": F.lit(None).cast("boolean"),
     }
     for name, default in defaults.items():
         if name not in src.columns:
             src = src.withColumn(name, default)
+
+    if split_threshold:
+        from .tiles import tile_xy
+
+        counts = src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nd"))
+        src = src.join(counts, "doc_id")  # small agg side — AQE broadcasts
+        # road midpoint → lon/lat → zoom-12 tile cell (dense docs only)
+        n_pts = (F.size("xy") / 2).cast("int")
+        midi = (F.floor(n_pts / 2) * 2 + 1).cast("int")  # 1-based x idx
+        lat = F.col("lat0") + F.element_at("xy", midi + 1) / M_PER_DEG
+        lon = F.col("lon0") + F.element_at("xy", midi) \
+            / (M_PER_DEG * F.cos(F.radians(F.col("lat0"))))
+        tx, ty = tile_xy(lon, lat, split_zoom)
+        src = src.withColumn(
+            "_tcell",
+            F.when(F.col("_nd") > split_threshold,
+                   (tx.cast("long") * F.lit(1 << 22) + ty.cast("long")))
+             .otherwise(F.lit(0))).drop("_nd")
+        # frozen seams: intersections whose incident roads span cells
+        endcells = src.select("doc_id", F.explode(F.array(
+            F.struct(F.col("src_i").alias("i"), F.col("_tcell").alias("c")),
+            F.struct(F.col("dst_i").alias("i"), F.col("_tcell").alias("c")),
+        )).alias("e")).select("doc_id", "e.i", "e.c")
+        frozen = endcells.groupBy("doc_id", "i").agg(
+            F.count_distinct("c").alias("_nc")).where(F.col("_nc") > 1)
+        for side, col in (("src", "src_i"), ("dst", "dst_i")):
+            src = src.drop(f"{side}_frozen").join(
+                frozen.select("doc_id", F.col("i").alias(col),
+                              F.lit(True).alias(f"{side}_frozen")),
+                ["doc_id", col], "left")
+    else:
+        src = src.withColumn("_tcell", F.lit(0))
+
     spark = src.sparkSession
     n = spark.sparkContext.defaultParallelism * 4
 
@@ -502,12 +560,13 @@ def run_transforms(roads: DataFrame,
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         outs = [
-            _transform_doc(doc_id, g, with_sidepath_zip,
-                           with_remove_disconnected)
-            for doc_id, g in pdf.groupby("doc_id", sort=False)
+            _transform_doc(doc_id, g.drop(columns=["_tcell"]),
+                           with_sidepath_zip, with_remove_disconnected)
+            for (doc_id, _), g in pdf.groupby(["doc_id", "_tcell"],
+                                              sort=False)
         ]
         yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
-    return src.select(*cols).repartition(n, "doc_id").mapInPandas(
+    return src.select(*cols).repartition(n, "doc_id", "_tcell").mapInPandas(
         batched, schema=TRANSFORM_SCHEMA
     )

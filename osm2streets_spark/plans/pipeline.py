@@ -205,7 +205,9 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
             )))
 
         tout = run_transforms(roads, cfg.zip_sidepaths,
-                              cfg.remove_disconnected) \
+                              cfg.remove_disconnected,
+                              cfg.transform_split_threshold,
+                              cfg.transform_split_zoom) \
             .localCheckpoint(eager=False)
         roads = tout.where(F.col("row_kind") == "road").drop("row_kind")
         imerges = tout.where(F.col("row_kind") == "imerge").select(
