@@ -225,8 +225,11 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     # pass-2 trims feed both the road rebuild and the intersections
     # table; roads_final feeds the render and the live-intersection
     # semi-join — persist both to keep every UDF stage single-execution
-    trims = run_t6(ends).localCheckpoint(eager=False)
-    roads_final = apply_trims(roads, trims).localCheckpoint(eager=False)
+    # plain persist here: inputs are already LogicalRDD scans (the
+    # checkpoints above), so downstream analysis stays shallow and two
+    # more checkpoint barriers would only serialize the tail
+    trims = run_t6(ends).persist()
+    roads_final = apply_trims(roads, trims).persist()
 
     # intersections surviving the transforms = endpoints of final roads
     live_is = roads_final.select(
