@@ -46,17 +46,20 @@ M_PER_DEG = 111_319.490793
 # with RDP ε=0.5 m (split_ways.rs:330-341)
 # ---------------------------------------------------------------------------
 
-XY_SCHEMA = ArrayType(DoubleType())
+PROJ_SCHEMA = StructType([
+    StructField("xy", ArrayType(DoubleType())),
+    StructField("geom_length", DoubleType()),
+])
 
 
 def _project_udf_factory():
     from ..geom.core import shift_polyline
 
-    @F.pandas_udf(XY_SCHEMA)
+    @F.pandas_udf(PROJ_SCHEMA)
     def project_and_simplify(pts: pd.Series, lon0: pd.Series,
                              lat0: pd.Series,
-                             shift: pd.Series) -> pd.Series:
-        out = []
+                             shift: pd.Series) -> pd.DataFrame:
+        out, lens = [], []
         for p, lo, la, sh in zip(pts, lon0, lat0, shift):
             arr = np.array([[q["lon"], q["lat"]] for q in p])
             xy = lonlat_to_xy(arr, lo, la)
@@ -67,20 +70,27 @@ def _project_udf_factory():
                 # shift to the full-width center (road.rs:166-193)
                 xy = shift_polyline(xy, sh)
             out.append(xy.ravel().tolist())
-        return pd.Series(out)
+            # length of the FINAL reference line: the pass-1 gate and the
+            # trims-only too_short flag compare trims against exactly this
+            lens.append(float(polyline_length(xy)))
+        return pd.DataFrame({"xy": out, "geom_length": lens})
     return project_and_simplify
 
 
 def with_projected_geometry(roads: DataFrame, anchors: DataFrame) -> DataFrame:
     """Join per-doc projection anchors (min corner of the doc bbox) and
-    compute the meters-plane reference line (placement-corrected)."""
+    compute the meters-plane reference line (placement-corrected) plus
+    its length (consumed by the T6 pass-1 candidate gate)."""
     udf = _project_udf_factory()
     r = roads.join(anchors.select(
         "doc_id", F.col("min_lon").alias("lon0"), F.col("min_lat").alias("lat0")
     ), "doc_id")
     if "placement_shift" not in r.columns:
         r = r.withColumn("placement_shift", F.lit(0.0))
-    return r.withColumn("xy", udf("pts", "lon0", "lat0", "placement_shift"))
+    return r.withColumn("_p", udf("pts", "lon0", "lat0", "placement_shift")) \
+            .withColumn("xy", F.col("_p.xy")) \
+            .withColumn("geom_length", F.col("_p.geom_length")) \
+            .drop("_p")
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +376,27 @@ def apply_trims(roads: DataFrame, trims: DataFrame) -> DataFrame:
         "_c", _rebuild_center("xy", "trim_start", "trim_end")
     )
     return r.select("*", "_c.*").drop("_c")
+
+
+def apply_trim_flags(roads: DataFrame, trims: DataFrame) -> DataFrame:
+    """Pass-1 join-back WITHOUT the Python center rebuild: the transform
+    stage only consumes trim_start/trim_end (pretrim memo) and too_short
+    (collapse candidacy), so a Catalyst comparison against the
+    precomputed geom_length replaces the whole _rebuild_center UDF pass.
+    Roads at junctions the pass-1 gate skipped get trims of 0 (they
+    cannot be annihilated by construction of the gate)."""
+    t = trims.groupBy("doc_id", "road_id").agg(
+        F.max(F.when(F.col("is_src_end"), F.col("trim"))).alias("trim_start"),
+        F.max(F.when(~F.col("is_src_end"), F.col("trim"))).alias("trim_end"),
+    )
+    r = roads.drop("too_short", "trim_start", "trim_end") \
+             .join(t, ["doc_id", "road_id"], "left") \
+             .fillna({"trim_start": 0.0, "trim_end": 0.0})
+    # same predicate as _rebuild_center's annihilation test
+    # (operations/update_geometry.rs:58-63)
+    return r.withColumn(
+        "too_short",
+        (F.col("trim_start") + F.col("trim_end")) >= F.col("geom_length"))
 
 
 def finalize_intersections(ints: DataFrame, trims: DataFrame,

@@ -145,6 +145,13 @@ def collapse_short_roads(roads: list[dict],
                 if other["dst_i"] == i or resolve(other["dst_i"]) == i:
                     other["pretrim_dst"] = float(other.get("trim_end") or 0.0)
         merged[dst] = src
+        # re-home the absorbed junction's incident list onto the
+        # survivor so chained collapses (dual-carriageway junctions)
+        # still find those roads for the memo — the reference iterates
+        # the LIVE roads_per_intersection at each collapse
+        # (collapse_short_road.rs:44-58)
+        if dst != src:
+            incident.setdefault(src, []).extend(incident.pop(dst, []))
 
     out = []
     for r in roads:
