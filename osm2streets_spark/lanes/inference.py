@@ -250,21 +250,24 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
 
     # --- roadway assembly -----------------------------------------------
     # junction=roundabout/circular implies oneway=yes (standard OSM
-    # implication, applied by the reference's muv tag model)
-    if "oneway" not in tags and tags.get("junction") in ("roundabout",
-                                                         "circular"):
-        tags["oneway"] = "yes"
-    oneway = tags.get("oneway") == "yes"
-    reverse_oneway = tags.get("oneway") == "-1"
+    # implication, applied by the reference's muv tag model). Local value
+    # only — never write into the caller's dict.
+    oneway_val = tags.get("oneway")
+    if oneway_val is None and tags.get("junction") in ("roundabout",
+                                                       "circular"):
+        oneway_val = "yes"
+    oneway = oneway_val == "yes"
+    reverse_oneway = oneway_val == "-1"
 
     n_lanes = None
     if tags.get("lanes", "").isdigit():
         n_lanes = max(1, int(tags["lanes"]))
     if n_lanes is None:
-        if hw in ("service", "track"):
-            n_lanes = 1
-        else:
-            n_lanes = 1 if (oneway or reverse_oneway) else 2
+        # muv's lane-count default is direction-based, not highway-type
+        # based: bidirectional service roads get 2 narrow lanes (every
+        # golden service polygon with oneway=no measures 4.0 m = 2×2.0;
+        # oneway ones measure 2.0)
+        n_lanes = 1 if (oneway or reverse_oneway) else 2
 
     n_fwd = n_back = 0
     if oneway:

@@ -65,7 +65,11 @@ def test_oneway_sidewalk_inference():
 
 
 def test_service_and_motorway_no_sidewalk():
+    # bidirectional service roads default to 2 narrow lanes (muv lane
+    # count is direction-based; golden service polygons measure 4.0 m)
     lanes, _ = run(["highway=service"])
+    assert lanes == "dd"
+    lanes, _ = run(["highway=service", "oneway=yes"])
     assert lanes == "d"
     lanes, _ = run(["highway=motorway", "lanes=3", "oneway=yes"])
     assert lanes == "ddd"
