@@ -49,14 +49,34 @@ def _parse_one_doc(doc_id: str, spans, rows: list) -> None:
         (s for s in spans if s["kind"] == "osm_xml"),
         key=lambda s: s["offset"],
     )
+    pbf_frags = sorted(
+        (s for s in spans if s["kind"] == "osm_pbf"),
+        key=lambda s: s["offset"],
+    )
     boundary = next((s for s in spans if s["kind"] == "boundary"), None)
+    nodes: dict[int, tuple] = {}
+    ways: list[tuple] = []
+    if pbf_frags:
+        # S1 PBF half (reader.rs:23-148 dispatches XML vs PBF): the
+        # base64 span payloads concatenate to the .osm.pbf bytes
+        import base64
+
+        from .osm_pbf import parse_pbf
+
+        data = b"".join(base64.b64decode(s["text"]) for s in pbf_frags)
+        nodes, pways, prels = parse_pbf(data)
+        for wid, refs, tags_json in pways:
+            refs = [r for r in refs if r in nodes]  # reader.rs:93-99
+            ways.append((wid, refs, tags_json))
+        for rid, members, tags_json in prels:
+            rows.append((doc_id, "relation", rid, None, None, None,
+                         json.dumps(members, separators=(",", ":")),
+                         tags_json))
     xml = "<osm>" + "".join(s["text"] for s in frags) + "</osm>"
     try:
         root = ET.fromstring(xml)
     except ET.ParseError:
-        return
-    nodes: dict[int, tuple] = {}
-    ways: list[tuple] = []
+        root = []  # malformed XML spans contribute nothing
     for el in root:
         tags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
         tags_json = json.dumps(dict(sorted(tags.items())),

@@ -39,11 +39,12 @@ def area_driving_side(area: str, src: str = REF_SRC) -> str:
 
 
 def list_reference_areas(src: str = REF_SRC) -> list[str]:
-    """Area names with an XML input (the one .osm.pbf area is skipped —
-    no pbf codec in this container; documented divergence)."""
+    """Area names with an OSM input — XML or PBF (sources/osm_pbf.py
+    decodes the latter, mirroring reader.rs's dual-format dispatch)."""
     out = []
     for name in sorted(os.listdir(src)):
-        if os.path.isfile(os.path.join(src, name, "input.osm")):
+        if (os.path.isfile(os.path.join(src, name, "input.osm"))
+                or os.path.isfile(os.path.join(src, name, "input.osm.pbf"))):
             out.append(name)
     return out
 
@@ -70,15 +71,25 @@ def _boundary_ring(path: str) -> list | None:
 
 
 def area_document(area: str, src: str = REF_SRC) -> dict:
-    """One documents-table row for a reference area."""
-    raw = open(os.path.join(src, area, "input.osm"), encoding="utf-8").read()
-    xml = _inner_xml(raw)
+    """One documents-table row for a reference area. XML areas chunk the
+    markup into osm_xml spans; PBF areas chunk the base64 blob bytes
+    into osm_pbf spans (decoded executor-side, sources/osm_pbf.py)."""
+    xml_path = os.path.join(src, area, "input.osm")
+    if os.path.isfile(xml_path):
+        kind = "osm_xml"
+        payload = _inner_xml(open(xml_path, encoding="utf-8").read())
+    else:
+        import base64
+        kind = "osm_pbf"
+        payload = base64.b64encode(
+            open(os.path.join(src, area, "input.osm.pbf"), "rb").read()
+        ).decode("ascii")
     spans = []
     off = 0
-    # interleave: xml chunk / media ref / xml chunk ... (the pipeline's
+    # interleave: payload chunk / media ref / chunk ... (the pipeline's
     # span-sequence passthrough invariant is exercised on real payloads)
-    for i in range(0, len(xml), CHUNK):
-        spans.append({"kind": "osm_xml", "text": xml[i:i + CHUNK],
+    for i in range(0, len(payload), CHUNK):
+        spans.append({"kind": kind, "text": payload[i:i + CHUNK],
                       "media_ref": "", "offset": off})
         off += 1
         spans.append({"kind": "media", "text": "",

@@ -152,3 +152,32 @@ def test_segment_counts_vs_oracle(network):
             continue
         want_counts[(doc_id, way_id)] = n_segs
     assert got == want_counts
+
+
+def test_pbf_decoder_matches_reference_golden():
+    """S1 PBF half (reader.rs:23-148): the frederiksted extract is the
+    one reference area shipped as .osm.pbf. The decoder's way set must
+    cover every osm_way_id the golden render keeps."""
+    import json
+    import os
+
+    src = "/root/reference/tests/src/frederiksted"
+    if not os.path.exists(f"{src}/input.osm.pbf"):
+        import pytest
+        pytest.skip("reference fixture not present")
+    from osm2streets_spark.sources.osm_pbf import parse_pbf
+
+    nodes, ways, rels = parse_pbf(open(f"{src}/input.osm.pbf", "rb").read())
+    assert len(nodes) > 1000 and len(ways) > 100
+    # every way ref resolves or is droppable; coords in USVI bbox
+    lons = [lon for lon, lat, _ in nodes.values()]
+    lats = [lat for lon, lat, _ in nodes.values()]
+    assert -65.1 < min(lons) < max(lons) < -64.6
+    assert 17.6 < min(lats) < max(lats) < 17.8
+    golden = json.load(open(f"{src}/geometry.json"))
+    golden_ways = set()
+    for f in golden["features"]:
+        for w in f["properties"].get("osm_way_ids") or []:
+            golden_ways.add(w)
+    decoded_ways = {w for w, _, _ in ways}
+    assert golden_ways <= decoded_ways
