@@ -183,6 +183,88 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
     return rows
 
 
+def t6_process(pdf: pd.DataFrame, trims_only: bool = False) -> pd.DataFrame:
+    """Pure per-batch T6: one pandas frame of road-ends (complete
+    junction groups) → trim rows. Shared verbatim by the Spark
+    mapInPandas wrapper below and the single-node sequential replay
+    (plans/sequential.py) so the two engines stay bit-identical."""
+    rows: list[tuple] = []
+    counts = pdf.groupby(["doc_id", "i_id"], sort=False)["road_id"] \
+                .transform("size")
+    if trims_only and "geom_length" in pdf.columns and len(pdf):
+        # pass-1 degree split: degree-1 (terminus.rs:8-29) and degree-2
+        # (degenerate.rs:17-38) trims are closed-form arithmetic on
+        # (length, width, is_edge) — vectorized numpy over the whole
+        # batch, no polyline work. Only degree ≥ 3 groups (and any
+        # pretrimmed group) fall through to the per-junction kernel.
+        pre_ok = pdf["pretrim"].isna().groupby(
+            [pdf["doc_id"], pdf["i_id"]], sort=False).transform("all") \
+            if "pretrim" in pdf.columns else pd.Series(True, pdf.index)
+        easy_mask = (counts <= 2) & pre_ok
+        easy = pdf[easy_mask]
+        if len(easy):
+            gl = easy["geom_length"].to_numpy(float)
+            w = np.maximum(easy["total_width"].to_numpy(float), 1.0)
+            is_edge = easy["is_edge"].fillna(False).to_numpy(bool) \
+                if "is_edge" in easy.columns \
+                else np.zeros(len(easy), dtype=bool)
+            t1 = np.where(is_edge,
+                          gl - np.maximum(gl, 3.0 * w) + w,
+                          np.where(gl > w + 1.0, w, 0.4 * gl))
+            minlen = easy.groupby(["doc_id", "i_id"], sort=False)[
+                "geom_length"].transform("min").to_numpy(float)
+            t2 = np.where(minlen < 0.2, 0.0,
+                          np.where(gl > 2.0, 1.0, 0.1))
+            ecounts = counts[easy_mask].to_numpy()
+            trims_v = np.where(ecounts == 1, t1, t2)
+            for d, i, rid, s, t in zip(
+                    easy["doc_id"], easy["i_id"], easy["road_id"],
+                    easy["is_src_end"], trims_v):
+                rows.append((d, int(i), int(rid), bool(s), float(t),
+                             None, None, None, 0))
+        pdf = pdf[~easy_mask]
+        counts = counts[~easy_mask]
+    # fast path: degree-1 junctions (termini — typically the majority
+    # of junction groups) skip the full kernel: trim 0, square end
+    # polygon, no movements (terminus.rs:8-64). Routed here instead
+    # of pandas-group dispatch, which dominated the stage cost.
+    singles = pdf[counts == 1]
+    multi = pdf[counts > 1]
+    for row in singles.itertuples(index=False):
+        pre = getattr(row, "pretrim", None)
+        pre = None if pre is None or (isinstance(pre, float)
+                                      and math.isnan(pre)) else float(pre)
+        xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
+        if not bool(row.is_src_end):
+            xy = xy[::-1]
+        w = max(float(row.total_width), 1.0)
+        is_edge = bool(getattr(row, "is_edge", False))
+        # terminus.rs:8-64: trim by width (MapEdges extend short
+        # roads first); a T1 pretrim memo overrides
+        if pre is not None:
+            trim, ring = pre, None
+            if not trims_only:
+                key = (int(row.road_id), bool(row.is_src_end))
+                ring = intersection_polygon(
+                    [{"key": key, "xy": xy, "width": w,
+                      "road_id": int(row.road_id)}], {key: pre})
+        else:
+            trim, ring = terminus_geometry(xy, w, is_edge)
+        if trims_only:
+            rows.append((row.doc_id, int(row.i_id), int(row.road_id),
+                         bool(row.is_src_end), float(trim),
+                         None, None, None, 0))
+            continue
+        kind = "Terminus" if bool(row.driveable) else "Connection"
+        rows.append((row.doc_id, int(row.i_id), int(row.road_id),
+                     bool(row.is_src_end), float(trim),
+                     ring.ravel().tolist(), kind, "[]", 0))
+    if len(multi):
+        for _, g in multi.groupby(["doc_id", "i_id"], sort=False):
+            rows.extend(_t6_rows(g, trims_only))
+    return pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
+
+
 def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
     """road_ends columns: doc_id, i_id, road_id, is_src_end, xy,
     total_width, driveable, can_out, can_in, restrictions_json,
@@ -201,48 +283,7 @@ def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        rows: list[tuple] = []
-        # fast path: degree-1 junctions (termini — typically the majority
-        # of junction groups) skip the full kernel: trim 0, square end
-        # polygon, no movements (terminus.rs:8-64). Routed here instead
-        # of pandas-group dispatch, which dominated the stage cost.
-        counts = pdf.groupby(["doc_id", "i_id"], sort=False)["road_id"] \
-                    .transform("size")
-        singles = pdf[counts == 1]
-        multi = pdf[counts > 1]
-        for row in singles.itertuples(index=False):
-            pre = getattr(row, "pretrim", None)
-            pre = None if pre is None or (isinstance(pre, float)
-                                          and math.isnan(pre)) else float(pre)
-            xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
-            if not bool(row.is_src_end):
-                xy = xy[::-1]
-            w = max(float(row.total_width), 1.0)
-            is_edge = bool(getattr(row, "is_edge", False))
-            # terminus.rs:8-64: trim by width (MapEdges extend short
-            # roads first); a T1 pretrim memo overrides
-            if pre is not None:
-                trim, ring = pre, None
-                if not trims_only:
-                    key = (int(row.road_id), bool(row.is_src_end))
-                    ring = intersection_polygon(
-                        [{"key": key, "xy": xy, "width": w,
-                          "road_id": int(row.road_id)}], {key: pre})
-            else:
-                trim, ring = terminus_geometry(xy, w, is_edge)
-            if trims_only:
-                rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                             bool(row.is_src_end), float(trim),
-                             None, None, None, 0))
-                continue
-            kind = "Terminus" if bool(row.driveable) else "Connection"
-            rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                         bool(row.is_src_end), float(trim),
-                         ring.ravel().tolist(), kind, "[]", 0))
-        if len(multi):
-            for _, g in multi.groupby(["doc_id", "i_id"], sort=False):
-                rows.extend(_t6_rows(g, trims_only))
-        yield pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
+        yield t6_process(pdf, trims_only)
 
     return road_ends.repartition(n, "doc_id", "i_id").mapInPandas(
         batched, schema=TRIM_SCHEMA
@@ -287,13 +328,14 @@ def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
             F.col("src_i").alias("other_i"),
         ),
     )
+    extra = ["geom_length"] if "geom_length" in src.columns else []
     ends = src.select(
-        "doc_id", "road_id", "xy", "total_width", "driveable",
+        "doc_id", "road_id", "xy", "total_width", "driveable", *extra,
         is_link.alias("is_link"), F.explode(both).alias("_e"),
     ).select(
         "doc_id", F.col("_e.i_id").alias("i_id"), "road_id",
         F.col("_e.is_src_end").alias("is_src_end"), "xy", "total_width",
-        "driveable", F.col("_e.can_out").alias("can_out"),
+        "driveable", *extra, F.col("_e.can_out").alias("can_out"),
         F.col("_e.can_in").alias("can_in"), "is_link",
         F.col("_e.pretrim").alias("pretrim"),
         F.col("_e.is_edge").alias("is_edge"),
@@ -320,36 +362,41 @@ CENTER_SCHEMA = StructType([
 ])
 
 
+def rebuild_center(raw, t0, t1) -> tuple[list, float, bool]:
+    """K9 (road.rs:496-527): trim a flat xy polyline by (t0, t1) meters;
+    negative trims extend. → (center_xy flat list, trimmed_length,
+    too_short). Shared by the Spark UDF and the sequential replay."""
+    pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+    total = polyline_length(pl)
+    t0 = float(t0 or 0.0)
+    t1 = float(t1 or 0.0)
+    if t0 + t1 >= total:  # maybe_exact_slice fails → annihilated
+        # road trimmed into oblivion → T1 collapse candidate
+        # (operations/update_geometry.rs:58-63)
+        mid = total / 2.0
+        c = slice_between(pl, max(mid - 0.05, 0), min(mid + 0.05, total))
+        return c.ravel().tolist(), float(polyline_length(c)), True
+    if t0 < 0:
+        pl = extend_to_length(pl[::-1], total - t0)[::-1]
+        total = polyline_length(pl)
+        t0 = 0.0
+    if t1 < 0:
+        pl = extend_to_length(pl, total - t1)
+        total = polyline_length(pl)
+        t1 = 0.0
+    c = slice_between(pl, t0, total - t1)
+    return c.ravel().tolist(), float(polyline_length(c)), False
+
+
 @F.pandas_udf(CENTER_SCHEMA)
 def _rebuild_center(xy: pd.Series, trim_start: pd.Series,
                     trim_end: pd.Series) -> pd.DataFrame:
     centers, lengths, too_short = [], [], []
     for raw, t0, t1 in zip(xy, trim_start, trim_end):
-        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
-        total = polyline_length(pl)
-        t0 = float(t0 or 0.0)
-        t1 = float(t1 or 0.0)
-        if t0 + t1 >= total:  # maybe_exact_slice fails → annihilated
-            # road trimmed into oblivion → T1 collapse candidate
-            # (operations/update_geometry.rs:58-63)
-            mid = total / 2.0
-            c = slice_between(pl, max(mid - 0.05, 0), min(mid + 0.05, total))
-            centers.append(c.ravel().tolist())
-            lengths.append(float(polyline_length(c)))
-            too_short.append(True)
-            continue
-        if t0 < 0:
-            pl = extend_to_length(pl[::-1], total - t0)[::-1]
-            total = polyline_length(pl)
-            t0 = 0.0
-        if t1 < 0:
-            pl = extend_to_length(pl, total - t1)
-            total = polyline_length(pl)
-            t1 = 0.0
-        c = slice_between(pl, t0, total - t1)
-        centers.append(c.ravel().tolist())
-        lengths.append(float(polyline_length(c)))
-        too_short.append(False)
+        c, ln, short = rebuild_center(raw, t0, t1)
+        centers.append(c)
+        lengths.append(ln)
+        too_short.append(short)
     return pd.DataFrame({
         "center_xy": centers, "trimmed_length": lengths,
         "too_short": too_short,

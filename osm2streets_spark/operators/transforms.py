@@ -446,10 +446,16 @@ TRANSFORM_SCHEMA = StructType(
 
 def _transform_doc(doc_id: str, pdf: pd.DataFrame,
                    with_sidepath_zip: bool = False,
-                   with_remove_disconnected: bool = True) -> pd.DataFrame:
+                   with_remove_disconnected: bool = True,
+                   doc_split: bool = False) -> pd.DataFrame:
     # Arrow batch row order is nondeterministic; kernels must not depend
     # on it (e.g. T2 keeps the FIRST road's id) — sort by road_id first
     pdf = pdf.sort_values("road_id")
+    if doc_split:
+        # a cell of a split doc must never run T4: components span
+        # cells, and a cell with no frozen seam (fully disconnected
+        # interior roads) would otherwise prune per-cell
+        with_remove_disconnected = False
     roads = pdf.to_dict("records")
     for r in roads:
         r["xy"] = list(r["xy"])
@@ -568,9 +574,10 @@ def run_transforms(roads: DataFrame,
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         outs = [
             _transform_doc(doc_id, g.drop(columns=["_tcell"]),
-                           with_sidepath_zip, with_remove_disconnected)
-            for (doc_id, _), g in pdf.groupby(["doc_id", "_tcell"],
-                                              sort=False)
+                           with_sidepath_zip, with_remove_disconnected,
+                           doc_split=bool(cell))
+            for (doc_id, cell), g in pdf.groupby(["doc_id", "_tcell"],
+                                                 sort=False)
         ]
         yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 

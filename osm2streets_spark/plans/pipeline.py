@@ -175,28 +175,11 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
         if two_pass_t6:
             # pass 1: trims only, to find trim-annihilated roads
             # (update_geometry.rs:58-63 → CollapseShortRoads candidates)
-            # and to feed the trim_roads_for_merging memo. Gated: only
-            # junctions touching a potential collapse candidate (an
-            # internal_junction_road, or a road short enough that its
-            # end trims could plausibly consume it — trims are bounded
-            # by the facing-edge projections of incident widths, so
-            # 4×max-doc-width is a generous ceiling) can produce pass-1
-            # information the transform kernel consumes. Everything
-            # else keeps trims of 0 / too_short False without running
-            # the Python kernel — in a typical corpus that is the vast
-            # majority of junctions, and at 100 TB the gate is a cheap
-            # Catalyst predicate before the one expensive exchange.
-            maxw = roads.groupBy("doc_id").agg(
-                F.max("total_width").alias("_mw"))
-            cand = roads.join(maxw, "doc_id").where(
-                F.coalesce("internal_junction_road", F.lit(False))
-                | (F.col("geom_length") < 4.0 * F.col("_mw")))
-            cand_is = cand.select(
-                "doc_id",
-                F.explode(F.array("src_i", "dst_i")).alias("i_id"),
-            ).distinct()
-            ends1 = build_road_ends(roads, None, cfg.driving_side) \
-                .join(cand_is, ["doc_id", "i_id"], "left_semi")
+            # and to feed the trim_roads_for_merging memo. The degree
+            # split (closed-form deg ≤ 2 trims, kernel only for deg ≥ 3)
+            # happens INSIDE t6_process so one exchange serves the whole
+            # pass and the sequential replay shares it bit-for-bit.
+            ends1 = build_road_ends(roads, None, cfg.driving_side)
             trims1 = run_t6(ends1, trims_only=True)
             roads = apply_trim_flags(roads, trims1)
         restricted_roads = resolved.select(

@@ -275,11 +275,18 @@ def queries() -> Q:
         return flagship_query(spark, fixture_dir_for(sf_dir))
 
     def sn_movements(spark, sf_dir):
+        """T6/T7 heart: post-transform junction kind + control + movement
+        count, keyed by the quantized point (natural key — road ids
+        inside movements_json are xxhash64, which DuckDB can't derive).
+        Oracle: the single-node sequential replay's gt_movements table
+        (plans/sequential.py)."""
         docs = load_documents(spark, fixture_dir_for(sf_dir))
         net = build_street_network(spark, docs)
         i = net["intersections"]
-        return i.select("doc_id", "qx", "qy", "kind", "control",
-                        "movements_json")
+        return i.select(
+            "doc_id", "qx", "qy", "kind", "control",
+            F.coalesce(F.json_array_length("movements_json"),
+                       F.lit(0)).cast("long").alias("n_movements"))
 
     def sn_transformed_roads(spark, sf_dir):
         docs = load_documents(spark, fixture_dir_for(sf_dir))
@@ -899,9 +906,25 @@ def oracle_sql() -> dict[str, str]:
                  '^tile://(\\d+)/(\\d+)/(\\d+)', 3), '') as bigint) as ref_y
       from s where span.kind = 'media'
     """
-    # sn_geojson_features / sn_movements / sn_transformed_roads /
-    # dd_simhash / sim_ann_lsh / mm_media_decode: geometry-UDF or
-    # approximate stages — rows-only checks (documented divergence).
+    # sn_movements / sn_transformed_roads: oracled against the
+    # single-node sequential replay (plans/sequential.py — same pure
+    # kernels, zero Spark), written as gt parquet at fixture-generation
+    # time. This cross-checks every piece of distributed glue: joins,
+    # windows, the trims pivot, the pass-1 candidate gate, imerge
+    # plumbing, id hashing, Arrow batch boundaries.
+    o["sn_transformed_roads"] = f"""
+      select doc_id, way_id, osm_way_ids,
+             round(trimmed_length, 2) as trimmed_length, lane_chars
+      from read_parquet('{fix}/gt_transformed.parquet')
+    """
+    o["sn_movements"] = f"""
+      select doc_id, qx, qy, kind, control,
+             cast(n_movements as bigint) as n_movements
+      from read_parquet('{fix}/gt_movements.parquet')
+    """
+    # sn_geojson_features / dd_simhash / sim_ann_lsh / mm_media_decode:
+    # geometry-UDF or approximate stages — rows-only checks (documented
+    # divergence).
     return o
 
 

@@ -1,0 +1,485 @@
+"""Single-node sequential replay of the street-network pipeline.
+
+Runs the SAME pure kernels as the distributed plan (lane inference,
+transform fixpoint, T6 junction kernel, center rebuild) over one
+document at a time in plain Python — no Spark. Two jobs:
+
+1. ORACLE for the engine's heart: the fixture generator runs this
+   replay at generation time and writes gt_transformed.parquet /
+   gt_movements.parquet; the driver's DuckDB oracle reads those tables
+   and compares them against the distributed sn_transformed_roads /
+   sn_movements queries. The kernels are shared (like gt_ways already
+   shares get_lane_specs_ltr), so what this cross-checks is everything
+   the kernels are NOT: the Spark glue — joins, windows, repartitions,
+   the trims pivot, the pass-1 candidate gate, imerge plumbing, Arrow
+   batch boundaries, id hashing. Those are where distributed bugs live
+   (both round-1 red CORRECTNESS rows were exactly that class).
+
+2. Single-node throughput baseline: the reference publishes no numbers
+   (BASELINE.md), so this replay IS the single-node engine to beat —
+   same work, zero coordination overhead.
+
+Bit-identity with the cluster path requires identical ids (the
+collapse kernels are order-sensitive: T1 candidates sort by road_id,
+T2 iterates junctions sorted by i_id), hence the pure-Python Spark
+xxhash64 (..xxh).
+
+Reference semantics mirrored from the same file:line cites as the
+distributed operators; see operators/*.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..config import (
+    MapConfig, DEFAULT_CONFIG, HIGHWAY_WHITELIST, RAILWAY_WHITELIST,
+)
+from ..geom.core import lonlat_to_xy, simplify_rdp, shift_polyline, \
+    polyline_length
+from ..lanes import get_lane_specs_ltr, lanes_to_chars, dirs_to_chars
+from ..lanes.inference import oneway_for_driving, DRIVING, car_access_blocked
+from ..lanes.placement import placement_shift
+from ..operators.geometry_update import t6_process, rebuild_center
+from ..operators.transforms import apply_standard_transforms
+from ..sources.osm_xml import _parse_one_doc
+from ..xxh import xxhash64
+
+M_PER_DEG = 111_319.490793
+LANE_KEYS = ("surface", "smoothness", "oneway", "service", "width",
+             "est_width", "maxspeed", "lanes", "tracktype")
+
+
+def _qz(v: float) -> int:
+    """Spark F.round(col).cast('long'): HALF_UP (away from zero)."""
+    return int(math.copysign(math.floor(abs(v) * 1e7 + 0.5), v))
+
+
+def _keep_way(tags: dict, n_pts: int, inferred_sidewalks: bool) -> bool:
+    hw = tags.get("highway")
+    rw = tags.get("railway")
+    keep = (hw in HIGHWAY_WHITELIST
+            or (rw in RAILWAY_WHITELIST and hw is None)
+            or (hw == "construction" and "construction" in tags))
+    keep = keep and tags.get("area", "no") != "yes"
+    if inferred_sidewalks:
+        keep = keep and not (hw == "footway"
+                             and tags.get("footway") in ("sidewalk",
+                                                         "crossing"))
+    keep = keep and not (hw == "service" and tags.get("golf") == "cartpath")
+    return keep and n_pts >= 2
+
+
+def _parse_road_tags(tags: dict) -> dict:
+    ms = tags.get("maxspeed") or ""
+    m = re.match(r"^(\d+(?:\.\d+)?)(?:\s*(mph))?$", ms)
+    speed = None
+    if m:
+        speed = float(m.group(1)) * (1.609344 if m.group(2) == "mph" else 1.0)
+        speed = round(speed, 3)
+    lm = re.match(r"^(-?\d+)", tags.get("layer") or "")
+    return {
+        "highway_type": tags.get("highway") or tags.get("railway"),
+        "name": tags.get("name"),
+        "speed_kph": speed,
+        "layer": int(lm.group(1)) if lm else 0,
+        "internal_junction_road": tags.get("junction") == "intersection",
+    }
+
+
+def _lane_cols(tags: dict, driving_side: str, inferred_sidewalks: bool) -> dict:
+    """Mirror of lanes_udf._infer_batch for one way."""
+    specs = get_lane_specs_ltr(tags, driving_side=driving_side,
+                               inferred_sidewalks=inferred_sidewalks)
+    ow_tag = tags.get("oneway", "")
+    if ow_tag == "" and tags.get("junction") in ("roundabout", "circular"):
+        ow_tag = "yes"
+    if ow_tag == "yes":
+        ow = "forward"
+    elif ow_tag == "-1":
+        ow = "backward"
+    else:
+        ow = oneway_for_driving(specs)
+        if sum(1 for s in specs if s.lt == DRIVING) == 1:
+            ow = None
+    fingerprint = json.dumps(
+        {k: v for k, v in sorted(tags.items())
+         if any(k.startswith(p) for p in LANE_KEYS)},
+        separators=(",", ":"))
+    return {
+        "lane_specs_json": json.dumps([s.as_dict() for s in specs],
+                                      separators=(",", ":")),
+        "lane_chars": lanes_to_chars(specs),
+        "dir_chars": dirs_to_chars(specs),
+        "total_width": round(sum(s.width for s in specs), 6),
+        "driveable": (any(s.lt == DRIVING for s in specs)
+                      and not car_access_blocked(tags)),
+        "oneway_dir": ow or "",
+        "placement_shift": round(
+            placement_shift(tags, specs, driving_side), 6),
+        "lane_fingerprint": fingerprint,
+    }
+
+
+def _tile_cell(lon: float, lat: float, zoom: int) -> int:
+    n = float(2 ** zoom)
+    x = math.floor((lon + 180.0) / 360.0 * n)
+    lr = math.radians(lat)
+    y = math.floor((1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr))
+                    / 3.141592653589793) / 2.0 * n)
+    x = max(0, min(int(x), int(n) - 1))
+    y = max(0, min(int(y), int(n) - 1))
+    return x * (1 << 22) + y
+
+
+def _ends_frame(doc_id: str, roads: list[dict], driving_side: str,
+                restr_json_by_i: dict | None) -> pd.DataFrame:
+    """Mirror of build_road_ends for one document."""
+    rows = []
+    for r in roads:
+        fwd = r["oneway_dir"] == "forward"
+        back = r["oneway_dir"] == "backward"
+        bidi = r["oneway_dir"] == ""
+        is_link = (str(r["highway_type"] or "").endswith("_link")
+                   or r["highway_type"] == "motorway")
+        for is_src in (True, False):
+            i_id = r["src_i"] if is_src else r["dst_i"]
+            pre = r.get("pretrim_src") if is_src else r.get("pretrim_dst")
+            rows.append({
+                "doc_id": doc_id, "i_id": i_id, "road_id": r["road_id"],
+                "is_src_end": is_src, "xy": list(r["xy"]),
+                "geom_length": float(r["geom_length"])
+                if r.get("geom_length") is not None else np.nan,
+                "total_width": r["total_width"],
+                "driveable": bool(r["driveable"]),
+                "can_out": bool(bidi or (back if is_src else fwd)),
+                "can_in": bool(bidi or (fwd if is_src else back)),
+                "is_link": bool(is_link),
+                "pretrim": float(pre) if pre is not None else np.nan,
+                "is_edge": bool((r.get("src_is_edge") if is_src
+                                 else r.get("dst_is_edge")) or False),
+                "other_i": r["dst_i"] if is_src else r["src_i"],
+                "restrictions_json": (restr_json_by_i or {}).get(i_id),
+                "driving_side": driving_side,
+            })
+    return pd.DataFrame(rows)
+
+
+def _resolve_restrictions(restrictions: list, node_q: dict,
+                          roads: list[dict],
+                          imerges: dict | None = None) -> list[dict]:
+    """Mirror of resolve_restrictions (J4): via-node → i_id; from/to way
+    → incident road. Post-transform, a road matches every constituent
+    way (osm_way_ids) and absorbed via intersections re-home."""
+    incident = {}
+    for r in roads:
+        for w in r.get("osm_way_ids") or [r["way_id"]]:
+            for i in (r["src_i"], r["dst_i"]):
+                incident.setdefault((w, i), set()).add(r["road_id"])
+    out = set()
+    for rr in restrictions:
+        if rr.get("via_node") is None or rr["via_node"] not in node_q:
+            continue
+        i_id = node_q[rr["via_node"]]
+        if imerges is not None:
+            i_id = imerges.get(i_id, i_id)
+        for frm in incident.get((rr["from_way"], i_id), ()):
+            for to in incident.get((rr["to_way"], i_id), ()):
+                out.add((i_id, rr["restriction_type"], frm, to))
+    return [{"i_id": i, "restriction_type": t, "from_road": f, "to_road": o}
+            for i, t, f, o in sorted(out)]
+
+
+def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
+    """→ (roads, intersections): the sequential twin of
+    build_street_network for one document. Road dicts carry way_id /
+    osm_way_ids / trimmed_length / lane_chars; intersection dicts carry
+    qx / qy / kind / control / n_movements."""
+    rows: list = []
+    _parse_one_doc(doc_id, spans, rows)
+    nodes, way_rows, rel_rows = {}, [], []
+    for r in rows:
+        # row tuple: (doc_id, entity, osm_id, lon, lat, node_ids,
+        #             members_json, tags_json)
+        if r[1] == "node":
+            nodes[r[2]] = (r[3], r[4], r[7])
+        elif r[1] == "way":
+            way_rows.append((r[2], r[5], r[7]))
+        else:
+            rel_rows.append((r[2], json.loads(r[6]), r[7]))
+    if not nodes:
+        return [], []
+
+    # F2 + tag parses + K1 per way
+    ways = {}
+    for wid, refs, tj in way_rows:
+        tags = json.loads(tj)
+        if not _keep_way(tags, len(refs), cfg.inferred_sidewalks):
+            continue
+        w = {"way_id": wid, "refs": refs, "tags": tags}
+        w.update(_parse_road_tags(tags))
+        w.update(_lane_cols(tags, cfg.driving_side, cfg.inferred_sidewalks))
+        ways[wid] = w
+
+    # J1: point-use counting over quantized way points (split_ways.rs:26-68)
+    use_count: dict[tuple, int] = {}
+    endpoint: set[tuple] = set()
+    for w in ways.values():
+        refs = w["refs"]
+        for pos, nid in enumerate(refs):
+            q = (_qz(nodes[nid][0]), _qz(nodes[nid][1]))
+            use_count[q] = use_count.get(q, 0) + 1
+            if pos == 0 or pos == len(refs) - 1:
+                endpoint.add(q)
+    int_pts = {q for q, n in use_count.items()
+               if n >= 2 or q in endpoint}
+
+    # intersections_v0: osm_node_id = max node id at the point
+    ints_v0: dict[tuple, int | None] = {}
+    for w in ways.values():
+        for nid in w["refs"]:
+            q = (_qz(nodes[nid][0]), _qz(nodes[nid][1]))
+            if q in int_pts:
+                cur = ints_v0.get(q)
+                ints_v0[q] = nid if cur is None else max(cur, nid)
+
+    # W1: split each way at interior intersection points; F5 cul-de-sacs
+    lon0 = min(lon for lon, _, _ in nodes.values())
+    lat0 = min(lat for _, lat, _ in nodes.values())
+    i_id_of = {q: xxhash64(doc_id, q[0], q[1]) for q in int_pts}
+    roads: list[dict] = []
+    interior_pts: dict[tuple, list] = {}  # q -> [road dicts] (J5)
+    for wid in ways:
+        w = ways[wid]
+        refs = w["refs"]
+        qs = [(_qz(nodes[n][0]), _qz(nodes[n][1])) for n in refs]
+        cut = [i for i, q in enumerate(qs) if q in int_pts]
+        for seg_idx in range(len(cut) - 1):
+            a, b = cut[seg_idx], cut[seg_idx + 1]
+            if qs[a] == qs[b]:
+                continue  # F5: single-segment pure loop piece
+            seg_refs = refs[a:b + 1]
+            pts = np.array([[nodes[n][0], nodes[n][1]] for n in seg_refs])
+            xy = lonlat_to_xy(pts, lon0, lat0)
+            xy = simplify_rdp(xy, 0.5)
+            sh = float(w["placement_shift"] or 0.0)
+            if abs(sh) > 1e-9:
+                xy = shift_polyline(xy, sh)
+            r = {
+                "road_id": xxhash64(doc_id, wid, seg_idx),
+                "way_id": wid, "seg_idx": seg_idx,
+                "src_i": i_id_of[qs[a]], "dst_i": i_id_of[qs[b]],
+                "src_q": qs[a], "dst_q": qs[b],
+                "pt_node_ids": seg_refs,
+                "xy": xy.ravel().tolist(),
+                "geom_length": float(polyline_length(xy)),
+                "osm_way_ids": [wid],
+                "too_short": False,
+                "lon0": lon0, "lat0": lat0,
+                "src_is_edge": seg_refs[0] < 0,
+                "dst_is_edge": seg_refs[-1] < 0,
+                "oneway_dir": w["oneway_dir"],
+            }
+            for k in ("highway_type", "name", "speed_kph", "layer",
+                      "internal_junction_road", "lane_specs_json",
+                      "lane_chars", "dir_chars", "total_width",
+                      "driveable", "placement_shift", "lane_fingerprint"):
+                r[k] = w[k]
+            for pos in range(a + 1, b):
+                if qs[pos] not in int_pts:
+                    interior_pts.setdefault(qs[pos], []).append(r)
+            roads.append(r)
+    if not roads:
+        return [], []
+
+    # features (F1) + crossing endpoint flags + way-signal targets
+    signal_nodes, crossing_nodes, sig_dirs = set(), set(), {}
+    for nid, (lon, lat, tj) in nodes.items():
+        tags = json.loads(tj) if tj and tj != "{}" else {}
+        hw = tags.get("highway")
+        if hw == "traffic_signals":
+            signal_nodes.add(nid)
+            sig_dirs[nid] = tags.get("traffic_signals:direction", "")
+        elif hw == "crossing":
+            crossing_nodes.add(nid)
+    for r in roads:
+        r["src_has_crossing"] = r["pt_node_ids"][0] in crossing_nodes or None
+        r["dst_has_crossing"] = r["pt_node_ids"][-1] in crossing_nodes or None
+    way_signal_is: set[int] = set()
+    for nid in signal_nodes:
+        q = (_qz(nodes[nid][0]), _qz(nodes[nid][1]))
+        for r in interior_pts.get(q, ()):
+            d = sig_dirs[nid] if sig_dirs[nid] in ("forward", "backward") \
+                else (r["oneway_dir"] or None)
+            if d:
+                way_signal_is.add(r["dst_i"] if d == "forward"
+                                  else r["src_i"])
+
+    # restrictions (F3/F4 + J4 pre-transform)
+    restrictions = []
+    for rid, members, tj in rel_rows:
+        tags = json.loads(tj)
+        if tags.get("type") != "restriction" or "restriction" not in tags:
+            continue
+        rt = ("Ban" if tags["restriction"].startswith("no_")
+              else "Only" if tags["restriction"].startswith("only_")
+              else None)
+        if rt is None:
+            continue
+        rec = {"restriction_type": rt, "from_way": None, "via_node": None,
+               "to_way": None}
+        for m in members:
+            if m["role"] == "from" and m["type"] == "way":
+                rec["from_way"] = max(rec["from_way"] or -2**63, m["ref"])
+            elif m["role"] == "via" and m["type"] == "node":
+                rec["via_node"] = max(rec["via_node"] or -2**63, m["ref"])
+            elif m["role"] == "to" and m["type"] == "way":
+                rec["to_way"] = max(rec["to_way"] or -2**63, m["ref"])
+        if rec["from_way"] is not None and rec["to_way"] is not None:
+            restrictions.append(rec)
+    node_q = {nid: i_id_of[q] for nid in nodes
+              if (q := (_qz(nodes[nid][0]), _qz(nodes[nid][1]))) in i_id_of}
+    resolved = _resolve_restrictions(restrictions, node_q, roads)
+    restricted = {x["from_road"] for x in resolved} \
+        | {x["to_road"] for x in resolved}
+    for r in roads:
+        r["has_restriction"] = (r["road_id"] in restricted) or None
+
+    # T6 pass 1 (trims only, ungated — the distributed gate must be a
+    # no-op; divergence here would redden the oracle)
+    ends1 = _ends_frame(doc_id, roads, cfg.driving_side, None)
+    trims1 = t6_process(ends1, trims_only=True)
+    tmap = {}
+    for t in trims1.itertuples(index=False):
+        key = (int(t.road_id), bool(t.is_src_end))
+        tmap[key] = float(t.trim)
+    for r in roads:
+        r["trim_start"] = tmap.get((r["road_id"], True), 0.0)
+        r["trim_end"] = tmap.get((r["road_id"], False), 0.0)
+        r["too_short"] = (r["trim_start"] + r["trim_end"]
+                          >= r["geom_length"])
+
+    # transforms (T4+T1+T2+T1) with the dense-doc cell split mirrored
+    imerges: dict[int, int] = {}
+    if cfg.transform_split_threshold and \
+            len(roads) > cfg.transform_split_threshold:
+        for r in roads:
+            flat = r["xy"]
+            n_pts = len(flat) // 2
+            mx = flat[(n_pts // 2) * 2]
+            my = flat[(n_pts // 2) * 2 + 1]
+            lat = lat0 + my / M_PER_DEG
+            lon = lon0 + mx / (M_PER_DEG * math.cos(math.radians(lat0)))
+            r["_tcell"] = _tile_cell(lon, lat, cfg.transform_split_zoom)
+        cells_of_i: dict[int, set] = {}
+        for r in roads:
+            cells_of_i.setdefault(r["src_i"], set()).add(r["_tcell"])
+            cells_of_i.setdefault(r["dst_i"], set()).add(r["_tcell"])
+        frozen = {i for i, cs in cells_of_i.items() if len(cs) > 1}
+        for r in roads:
+            r["src_frozen"] = r["src_i"] in frozen or None
+            r["dst_frozen"] = r["dst_i"] in frozen or None
+    else:
+        for r in roads:
+            r["_tcell"] = 0
+            r["src_frozen"] = r["dst_frozen"] = None
+    out_roads: list[dict] = []
+    for cell in sorted({r["_tcell"] for r in roads}):
+        group = sorted((r for r in roads if r["_tcell"] == cell),
+                       key=lambda r: r["road_id"])
+        # split docs (nonzero cell) never run T4 — components span
+        # cells (mirrors _transform_doc's doc_split guard)
+        out_roads.extend(apply_standard_transforms(
+            group, cfg.zip_sidepaths, imerges,
+            cfg.remove_disconnected and not bool(cell)))
+    roads = out_roads
+
+    # re-resolve restrictions post-transform; pass-2 T6
+    resolved = _resolve_restrictions(restrictions, node_q, roads,
+                                     imerges=imerges)
+    restr_by_i: dict[int, str] = {}
+    by_i: dict[int, list] = {}
+    for x in resolved:
+        by_i.setdefault(x["i_id"], []).append(
+            {"rt": x["restriction_type"], "frm": x["from_road"],
+             "to": x["to_road"]})
+    restr_by_i = {i: json.dumps(v) for i, v in by_i.items()}
+    ends2 = _ends_frame(doc_id, roads, cfg.driving_side, restr_by_i)
+    trims2 = t6_process(ends2, trims_only=False)
+
+    tmap2, meta = {}, {}
+    for t in trims2.itertuples(index=False):
+        tmap2[(int(t.road_id), bool(t.is_src_end))] = float(t.trim)
+        if t.polygon_xy is not None:
+            meta[int(t.i_id)] = (t.kind,
+                                 len(json.loads(t.movements_json))
+                                 if t.movements_json else 0)
+    for r in roads:
+        t0 = tmap2.get((r["road_id"], True), 0.0)
+        t1 = tmap2.get((r["road_id"], False), 0.0)
+        _, r["trimmed_length"], r["too_short"] = \
+            rebuild_center(r["xy"], t0, t1)
+
+    # finalize intersections: roster / signals / control (T7)
+    q_of_i = {v: k for k, v in i_id_of.items()}
+    absorbed_of: dict[int, list[int]] = {}
+    for absorbed, surv in imerges.items():
+        absorbed_of.setdefault(surv, []).append(absorbed)
+    way_signal_final = {imerges.get(i, i) for i in way_signal_is}
+    live = sorted({i for r in roads for i in (r["src_i"], r["dst_i"])})
+    ints_out = []
+    for i in live:
+        q = q_of_i[i]
+        own = ints_v0.get(q)
+        hint = "MapEdge" if own is None or own < 0 else "Unknown"
+        roster = [own] if own is not None and own > 0 else []
+        for ai in absorbed_of.get(i, ()):
+            nid = ints_v0.get(q_of_i[ai])
+            if nid is not None and nid > 0:
+                roster.append(nid)
+        kind, n_mov = meta.get(i, (None, 0))
+        if hint == "MapEdge":
+            control = "Uncontrolled"
+            kind = "MapEdge"
+        elif any(n in signal_nodes for n in roster) \
+                or i in way_signal_final:
+            control = "Signalled"
+        elif not roster:
+            control = "Uncontrolled"
+        else:
+            control = "Signed"
+        if kind is None:
+            kind = hint
+        ints_out.append({"qx": q[0], "qy": q[1], "kind": kind,
+                         "control": control, "n_movements": n_mov})
+    return roads, ints_out
+
+
+def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
+    """Iterate (doc_id, spans) pairs → (transformed_road_rows,
+    movement_rows) ready for parquet — the gt tables the oracle reads."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    road_rows, int_rows = [], []
+    for doc_id, spans in doc_rows:
+        roads, ints = convert_document(doc_id, spans, cfg)
+        for r in roads:
+            # same rounding as Spark F.round(col, 2): HALF_UP over the
+            # shortest decimal representation of the double
+            tl = float(Decimal(repr(float(r["trimmed_length"])))
+                       .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+            road_rows.append({
+                "doc_id": doc_id, "way_id": r["way_id"],
+                "osm_way_ids": ",".join(
+                    str(w) for w in r["osm_way_ids"]),
+                "trimmed_length": tl,
+                "lane_chars": r["lane_chars"],
+            })
+        for i in ints:
+            int_rows.append({"doc_id": doc_id, **i})
+    return road_rows, int_rows

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v8"
+GEN_VERSION = "v9"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -608,6 +608,40 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
             "tags_json": pa.array([r["tags_json"] for r in rels], pa.string()),
         }),
         os.path.join(out_dir, "gt_relations.parquet"),
+    )
+    # gt twin of the TRANSFORMED network: the single-node sequential
+    # replay (plans/sequential.py) over the same documents — shared pure
+    # kernels, zero Spark. The DuckDB oracles for sn_transformed_roads /
+    # sn_movements read these tables, cross-checking all of the
+    # distributed glue (joins, trims pivot, pass-1 gate, imerges).
+    from ..plans.sequential import convert_documents
+    road_rows, int_rows = convert_documents(
+        (d["doc_id"], d["spans"]) for d in docs)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in road_rows], pa.string()),
+            "way_id": pa.array([r["way_id"] for r in road_rows], pa.int64()),
+            "osm_way_ids": pa.array([r["osm_way_ids"] for r in road_rows],
+                                    pa.string()),
+            "trimmed_length": pa.array(
+                [r["trimmed_length"] for r in road_rows], pa.float64()),
+            "lane_chars": pa.array([r["lane_chars"] for r in road_rows],
+                                   pa.string()),
+        }),
+        os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in int_rows], pa.string()),
+            "qx": pa.array([r["qx"] for r in int_rows], pa.int64()),
+            "qy": pa.array([r["qy"] for r in int_rows], pa.int64()),
+            "kind": pa.array([r["kind"] for r in int_rows], pa.string()),
+            "control": pa.array([r["control"] for r in int_rows],
+                                pa.string()),
+            "n_movements": pa.array([r["n_movements"] for r in int_rows],
+                                    pa.int64()),
+        }),
+        os.path.join(out_dir, "gt_movements.parquet"),
     )
     with open(done, "w") as f:
         f.write(GEN_VERSION + "\n")

@@ -18,19 +18,24 @@ def dense_net(spark, fixture_dir):
 
 
 def test_starburst_hub(dense_net):
+    # With exact pass-1 trims, 12 of the 60 spokes are trim-annihilated
+    # at the degree-60 hub (adjacent spokes ~6 deg apart -> facing-edge
+    # trims ~ w/sin(6 deg) exceed spoke length) and collapse, exactly as
+    # the reference does (update_geometry.rs:58-63 -> collapse). 48
+    # spokes survive; their outer termini remain.
     ints = dense_net["intersections"].collect()
-    assert len(ints) == 61  # hub + 60 spoke termini
+    assert len(ints) == 49  # hub + 48 surviving spoke termini
     hub = [i for i in ints if i.kind == "Intersection"]
     assert len(hub) == 1
     movements = json.loads(hub[0].movements_json)
-    assert len(movements) == 60 * 59
+    assert len(movements) == 48 * 47
     termini = [i for i in ints if i.kind == "Terminus"]
-    assert len(termini) == 60
+    assert len(termini) == 48
 
 
 def test_starburst_roads_render(dense_net):
     feats = dense_net["features"]
-    assert feats.where(F.col("feature_type") == "road").count() == 60
+    assert feats.where(F.col("feature_type") == "road").count() == 48
     # every feature lands in exactly one tile cell
     assert feats.where(F.col("quadkey").isNull()).count() == 0
 
@@ -99,8 +104,8 @@ def test_dense_doc_transform_split(spark):
     ids_b = {r.road_id for r in
              whole_noT4.where("row_kind = 'road'").collect()}
     assert ids_a == ids_b == set(range(300))
-    # and the dense doc really spans several transform cells
-    from pyspark.sql import functions as F
-    from osm2streets_spark.operators.tiles import tile_xy
-    assert got_split  # split path produced roads
-    assert len(got_whole) <= len(got_split) or got_whole == got_split
+    # T4-on: the whole-doc path keeps one component (these 300 roads
+    # are all singleton components, so exactly one survives); the split
+    # path skips T4 entirely and keeps all 300 (documented semantics)
+    assert len(got_whole) == 1
+    assert got_split == set(range(300))
