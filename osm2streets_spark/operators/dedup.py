@@ -189,7 +189,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
 
     With k=32, b=16, r=2: P(candidate) = 1-(1-s²)^16 → ≥0.99 at s=0.5,
     so verified output equals the exact threshold pairs (the oracle) with
-    negligible false-negative probability."""
+    negligible false-negative probability.
+
+    CONTRACT above the hot-bucket cap: in buckets larger than MAX_BUCKET
+    the output switches from exact PAIRS to CLUSTER EDGES — each member
+    pairs only with the bucket's min doc_id. A true near-duplicate pair
+    (x, y) that co-occurs only in hot buckets and is not similar to the
+    representative is then reported via the shared representative (two
+    edges), not directly; connected-component clustering downstream
+    recovers the same duplicate clusters, but pairwise recall is
+    deliberately traded for the n² bound. The DuckDB oracle (exact
+    pairs) therefore only matches while every bucket is under the cap —
+    true at the driver's correctness scale, asserted for the hot case in
+    tests/test_dedup.py."""
     sh = word_shingles(docs, n)
     sh_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
     sigs = sh_sets.select("doc_id", _minhash_sig("sh").alias("sig"))
@@ -269,38 +281,50 @@ def minhash_lsh_oracle_sql(doc_table: str, n: int = 3,
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SM1 = np.uint64(0x9E3779B97F4A7C15)
+_SM2 = np.uint64(0xBF58476D1CE4E5B9)
+_BITS = np.arange(64, dtype=np.uint64)
+
+
 @F.pandas_udf(LongType())
 def _simhash64(shingles: pd.Series) -> pd.Series:
+    """Vectorized: one uint64 matrix per doc (shingles × 64 bits), no
+    per-shingle Python loop — same shape as the MinHash signature UDF.
+    The splitmix-style mix (public constants) is reproduced verbatim in
+    the DuckDB oracle via HUGEINT modular arithmetic."""
     out = []
+    one = np.uint64(1)
     for sh in shingles:
         if sh is None or len(sh) == 0:
             out.append(0)
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for v in sh:
-            # spread the 31-bit shingle hash to 64 bits (splitmix-style,
-            # public mixing constants)
-            x = (int(v) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
-            x ^= x >> 31
-            x = (x * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-            x ^= x >> 27
-            bits = np.array([(x >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += bits * 2 - 1
-        h = 0
-        for i in range(64):
-            if acc[i] > 0:
-                h |= (1 << i)
-        # store as signed 64-bit
+        x = np.asarray(sh, dtype=np.int64).astype(np.uint64)
+        x = x * _SM1                    # uint64 wraps mod 2^64
+        x ^= x >> np.uint64(31)
+        x = x * _SM2
+        x ^= x >> np.uint64(27)
+        bits = (x[:, None] >> _BITS[None, :]) & one      # (n, 64)
+        acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        h = int(((acc > 0).astype(np.uint64) << _BITS).sum(
+            dtype=np.uint64))
         if h >= (1 << 63):
-            h -= (1 << 64)
+            h -= (1 << 64)              # store as signed 64-bit
         out.append(h)
     return pd.Series(out)
 
 
 def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, found
-    via 4×16-bit band equi-joins (pigeonhole: any pair within distance 3
-    agrees on ≥1 of 4 bands)."""
+    via 4×16-bit bands (pigeonhole: any pair within distance 3 agrees on
+    ≥1 of 4 bands). Candidates come from ONE hash aggregation per
+    bucket — not a bands⋈bands self-join — with the same MAX_BUCKET
+    hot-bucket representative pairing as MinHash-LSH (a boilerplate
+    16-bit band value shared by thousands of docs would otherwise go
+    quadratic inside a single task). Same above-cap contract as
+    minhash_lsh_pairs: hot buckets emit cluster edges (member ↔
+    bucket-min), not exact pairs — the pigeonhole exactness guarantee
+    holds only below the cap, which is where the DuckDB brute-force
+    oracle runs."""
     sh = word_shingles(docs, n)
     sh_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     sigs = sh_sets.select("doc_id", _simhash64("shs").alias("sim"))
@@ -312,18 +336,81 @@ def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFram
             "shiftright(sim, b * 16) & 65535 as band_val))"
         )).alias("band"),
     ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    MAX_BUCKET = 256
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.sort_array(F.collect_set(F.struct("doc_id", "sim"))).alias("ids"))
+    buckets = buckets.where(F.size("ids") >= 2)
+    pair = ("struct(x.doc_id as doc_a, x.sim as sim_a, "
+            "y.doc_id as doc_b, y.sim as sim_b)")
+    small_pairs = buckets.where(F.size("ids") <= MAX_BUCKET).select(
+        F.explode(F.expr(
+            f"flatten(transform(ids, (x, i) -> "
+            f"transform(slice(ids, i + 2, size(ids)), y -> {pair})))"
+        )).alias("p"))
+    big_pairs = buckets.where(F.size("ids") > MAX_BUCKET).select(
+        F.explode(F.expr(
+            f"transform(slice(ids, 2, size(ids)), y -> "
+            f"struct(ids[0].doc_id as doc_a, ids[0].sim as sim_a, "
+            f"y.doc_id as doc_b, y.sim as sim_b))")).alias("p"))
     cand = (
-        bands.alias("x").join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                F.col("x.sim").alias("sim_a"), F.col("y.sim").alias("sim_b"))
+        small_pairs.unionByName(big_pairs)
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.withColumn("hamming", hamming) \
                .where(F.col("hamming") <= max_hamming) \
                .select("doc_a", "doc_b", "hamming")
+
+
+def simhash_oracle_sql(doc_table: str, n: int = 3,
+                       max_hamming: int = 3) -> str:
+    """Exact DuckDB twin: the 4-band pigeonhole search is EXACT for
+    Hamming ≤ 3 (below the hot-bucket cap), so brute-force XOR popcount
+    over per-doc signatures — recomputed from the same shingles with
+    the same splitmix mix in HUGEINT modular arithmetic — is the
+    oracle."""
+    m = "18446744073709551616"  # 2^64
+    # (a*C) mod 2^64 without overflowing signed INT128: split C into
+    # 32-bit halves — ((a*C_hi mod 2^32) << 32 + a*C_lo) mod 2^64
+    mul1 = ("((((v * 2654435769::hugeint) % 4294967296::hugeint)"
+            " * 4294967296::hugeint + v * 2135587861::hugeint)"
+            f" % {m}::hugeint)")
+    mul2 = ("((((v * 3210233709::hugeint) % 4294967296::hugeint)"
+            " * 4294967296::hugeint + v * 484763065::hugeint)"
+            f" % {m}::hugeint)")
+    return shingles_oracle_cte(doc_table, n) + f"""
+      , mixed as (
+        select doc_id,
+               xor(x2, x2 >> 27) as mx
+        from (
+          select doc_id, {mul2.replace('v', 'xor(x1, x1 >> 31)')} as x2
+          from (
+            select doc_id, {mul1.replace('v', '(shingle::hugeint)')} as x1
+            from sh
+          )
+        )
+      ),
+      bits as (
+        select doc_id, i,
+               sum(case when (mx >> i) & 1 = 1 then 1 else -1 end) as acc
+        from mixed, (select unnest(generate_series(0, 63)) as i)
+        group by doc_id, i
+      ),
+      sims as (
+        select doc_id,
+               sum(case when acc > 0
+                   then (1::hugeint << i) else 0::hugeint end) as sim
+        from bits group by doc_id
+      )
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(bit_count(cast(xor(a.sim, b.sim) >> 32 as bigint))
+                  + bit_count(cast(xor(a.sim, b.sim)
+                                   & 4294967295::hugeint as bigint))
+                  as bigint) as hamming
+      from sims a join sims b on a.doc_id < b.doc_id
+      where bit_count(cast(xor(a.sim, b.sim) >> 32 as bigint))
+            + bit_count(cast(xor(a.sim, b.sim)
+                             & 4294967295::hugeint as bigint))
+            <= {max_hamming}
+    """

@@ -110,8 +110,8 @@ def compare_area(golden: dict, our_roads: list[dict],
         if cands:
             best = min(range(len(cands)),
                        key=lambda i: _dist_m(cands[i]["_c"], o["_c"]))
-            road_pairs.append((cands.pop(best), o,
-                               _dist_m(o["_c"], o["_c"])))
+            g = cands.pop(best)
+            road_pairs.append((g, o, _dist_m(g["_c"], o["_c"])))
         else:
             o_road_rest.append(o)
     for lst in g_road_key.values():

@@ -877,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
     o["dd_exact"] = dedup.exact_duplicates_oracle_sql("documents")
     o["dd_jaccard"] = dedup.jaccard_pairs_oracle_sql("documents")
     o["dd_minhash_lsh"] = dedup.minhash_lsh_oracle_sql("documents")
+    o["dd_simhash"] = dedup.simhash_oracle_sql("documents")
     o["ta_langid"] = text_analysis.lang_id_oracle_sql("documents")
     o["ta_quality"] = text_analysis.quality_score_oracle_sql("documents")
     o["ta_tokens"] = text_analysis.token_stats_oracle_sql("documents")
