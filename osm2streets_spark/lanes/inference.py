@@ -57,8 +57,11 @@ BACK = "backward"
 # Fork/Intersection kinds) but still distinguish lane specs — the
 # reference's LaneSpec embeds the raw muv Lane (osm2lanes lib.rs:289),
 # so any access difference breaks lane-spec equality in T2.
+# customers stays DRIVEABLE too (tempe_light_rail golden: an
+# access=customers service stub is a Terminus, which requires one
+# driveable road)
 _CAR_DENIED = {"no", "delivery", "agricultural", "forestry", "emergency",
-               "permit", "customers"}
+               "permit"}
 _CAR_UNREMARKABLE = {None, "yes", "designated", "permissive"}
 
 
@@ -194,7 +197,12 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
     {None, 'lane', 'track'}; lanes is list of (dir,) ordered
     backward-then-forward for two-way."""
     val = tags.get(f"cycleway:{side}") or tags.get("cycleway")
-    if val in (None, "no", "none", "separate"):
+    # 'opposite' (legacy contraflow-permitted) and 'shared_lane'
+    # (sharrow markings) add no separate lane — muv produces identical
+    # lane specs for cycleway=opposite and cycleway:both=no, which is
+    # what lets the reference splice the borough_sausage_links chains
+    if val in (None, "no", "none", "separate", "opposite", "shared_lane",
+               "shared"):
         return None, []
     kind = "track" if val in ("track", "opposite_track") else "lane"
     twoway = (
@@ -256,7 +264,10 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     if oneway_val is None and tags.get("junction") in ("roundabout",
                                                        "circular"):
         oneway_val = "yes"
-    oneway = oneway_val == "yes"
+    # reversible/alternating roads carry traffic one way at any instant
+    # (i5 golden: oneway=reversible motorway_link junctions classify as
+    # Connection, which requires a single through movement)
+    oneway = oneway_val in ("yes", "reversible", "alternating")
     reverse_oneway = oneway_val == "-1"
 
     n_lanes = None
@@ -287,6 +298,34 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             n_back = n_lanes // 2
             n_fwd = n_lanes - n_back
 
+    # muv counts per-direction lanes from ANY `<key>:lanes:<dir>` list:
+    # the number of '|'-separated entries IS the lane count for that
+    # direction, trumping a stale `lanes` total (aurora golden:
+    # bus:lanes:forward=yes|yes|designated widens Aurora Ave to 3
+    # forward lanes even though lanes=5/lanes:forward=2). The
+    # per-entry values also type the lanes (designated → Bus).
+    _LANE_LIST_KEYS = ("bus", "psv", "access", "vehicle", "motor_vehicle",
+                      "hgv", "turn")
+    lane_lists: dict[str, list[str]] = {}
+    for d in ("forward", "backward"):
+        for k in _LANE_LIST_KEYS:
+            v = tags.get(f"{k}:lanes:{d}")
+            if v:
+                parts = v.split("|")
+                lane_lists.setdefault(d, [""] * len(parts))
+                if len(parts) > len(lane_lists[d]):
+                    lane_lists[d] = lane_lists[d] + \
+                        [""] * (len(parts) - len(lane_lists[d]))
+                if k in ("bus", "psv"):
+                    for i, p in enumerate(parts):
+                        if p == "designated":
+                            lane_lists[d][i] = "bus"
+    if not oneway and not reverse_oneway:
+        if "forward" in lane_lists:
+            n_fwd = max(n_fwd, len(lane_lists["forward"]))
+        if "backward" in lane_lists:
+            n_back = max(n_back, len(lane_lists["backward"]))
+
     lane_lt = BUS if hw == "busway" else DRIVING
     lane_subtype = ""
     av = car_access_value(tags)
@@ -304,10 +343,23 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             lane_subtype = f"access:{av}"
     w_drive = default_width(lane_lt, "", hw)
 
-    back_driving = [LaneSpec(lane_lt, BACK, w_drive, subtype=lane_subtype)
-                    for _ in range(n_back)]
-    fwd_driving = [LaneSpec(lane_lt, FWD, w_drive, subtype=lane_subtype)
-                   for _ in range(n_fwd)]
+    def _make_dir_lanes(n: int, direction: str, list_key: str):
+        out = []
+        kinds = lane_lists.get(list_key, [])
+        for i in range(n):
+            k = kinds[i] if i < len(kinds) else ""
+            if k == "bus" and lane_lt == DRIVING:
+                out.append(LaneSpec(BUS, direction,
+                                    default_width(BUS, "", hw)))
+            else:
+                out.append(LaneSpec(lane_lt, direction, w_drive,
+                                    subtype=lane_subtype))
+        return out
+
+    # per-lane lists are tagged left-to-right IN THE DIRECTION OF
+    # TRAVEL; a backward list reads right-to-left in road order
+    back_driving = _make_dir_lanes(n_back, BACK, "backward")[::-1]
+    fwd_driving = _make_dir_lanes(n_fwd, FWD, "forward")
     if driving_side == "left":
         # LHT: forward traffic occupies the left half of the carriageway
         back_driving, fwd_driving = fwd_driving, back_driving
@@ -319,7 +371,11 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             spec.allowed_turns = _parse_turns(part)
 
     middle: list[LaneSpec] = []
-    if tags.get("centre_turn_lane") == "yes":
+    if tags.get("centre_turn_lane") == "yes" \
+            or (tags.get("lanes:both_ways", "").strip() == "1"
+                and "left" in tags.get("turn:lanes:both_ways", "")):
+        # a single both-ways lane tagged for left turns is the classic
+        # US shared center turn lane
         middle = [LaneSpec(SHARED_LEFT_TURN, FWD, default_width(SHARED_LEFT_TURN, "", hw))]
 
     # bus lanes adjacent to the driving lanes (busway:left/right/both=lane)

@@ -38,22 +38,13 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series,
         tags = json.loads(tj) if tj else {}
         specs = get_lane_specs_ltr(tags, driving_side=side or "right",
                                    inferred_sidewalks=bool(inf_sw))
-        # routing direction comes from the oneway TAG: a default 1-lane
-        # service road renders one forward lane but remains two-way for
-        # movements (lane-dir-derived onewayness would wrongly close it)
-        ow_tag = tags.get("oneway", "")
-        if ow_tag == "" and tags.get("junction") in ("roundabout",
-                                                     "circular"):
-            ow_tag = "yes"  # standard OSM implication
-        if ow_tag == "yes":
-            ow = "forward"
-        elif ow_tag == "-1":
-            ow = "backward"
-        else:
-            ow = oneway_for_driving(specs)
-            n_driving = sum(1 for s in specs if s.lt == DRIVING)
-            if n_driving == 1:
-                ow = None  # single untagged lane: bidirectional
+        # routing direction derives from the LANE DIRECTIONS, exactly
+        # like the reference (road.rs:228-254 → LaneSpec::
+        # oneway_for_driving, lib.rs:372-393): a road whose driving
+        # lanes all point forward is one-way for movements even when
+        # that came from a lanes=1 tag rather than oneway=yes (i5 golden
+        # Fork junctions depend on this; the earlier tag-based shortcut
+        # mis-classified them as Cross)
         out["lane_specs_json"].append(
             json.dumps([s.as_dict() for s in specs], separators=(",", ":"))
         )
@@ -64,7 +55,7 @@ def _infer_batch(tags_json: pd.Series, driving_side: pd.Series,
         out["driveable"].append(
             any(s.lt == DRIVING for s in specs)
             and not car_access_blocked(tags))
-        out["oneway_dir"].append(ow or "")
+        out["oneway_dir"].append(oneway_for_driving(specs) or "")
         out["placement_shift"].append(
             round(placement_shift(tags, specs, side or "right"), 6))
     return pd.DataFrame(out)

@@ -268,9 +268,12 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
         merged["trim_end"] = b.get("trim_end")
         merged["pretrim_dst"] = b.get("pretrim_dst")
         merged["xy"] = new_xy.ravel().tolist()
+        # MULTISET union, like the reference's osm_ids.extend — a way
+        # split by an interior loop and re-spliced legitimately lists
+        # its id twice (quad_intersection golden: [6390208, 6390208])
         merged["osm_way_ids"] = sorted(
-            set(a.get("osm_way_ids", [a["way_id"]]))
-            | set(b.get("osm_way_ids", [b["way_id"]]))
+            list(a.get("osm_way_ids", [a["way_id"]]))
+            + list(b.get("osm_way_ids", [b["way_id"]]))
         )
         del by_id[b["road_id"]]
         by_id[a["road_id"]] = merged

@@ -147,13 +147,13 @@ def compare_area(golden: dict, our_roads: list[dict],
         "mean_area_ratio": round(
             sum(area_ratios) / max(len(area_ratios), 1), 3),
     }
-    # pass bar (round-2): topology within 5% or ±2, ≥90% matched, ≥85%
-    # property agreement on matched pairs
-    close = lambda a, b: abs(a - b) <= max(2, 0.05 * max(a, b))
+    # pass bar (round-3, tightened from 90/85): topology within 3% or
+    # ±2, ≥97% matched, ≥95% property agreement on matched pairs
+    close = lambda a, b: abs(a - b) <= max(2, 0.03 * max(a, b))
     m["pass"] = bool(
         close(ng_r, no_r) and close(ng_i, no_i)
-        and m["int_match_pct"] >= 90 and m["road_match_pct"] >= 90
-        and m["control_agree_pct"] >= 85 and m["kind_agree_pct"] >= 85
+        and m["int_match_pct"] >= 97 and m["road_match_pct"] >= 97
+        and m["control_agree_pct"] >= 95 and m["kind_agree_pct"] >= 95
     )
     return m
 

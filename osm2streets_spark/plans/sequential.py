@@ -96,17 +96,9 @@ def _lane_cols(tags: dict, driving_side: str, inferred_sidewalks: bool) -> dict:
     """Mirror of lanes_udf._infer_batch for one way."""
     specs = get_lane_specs_ltr(tags, driving_side=driving_side,
                                inferred_sidewalks=inferred_sidewalks)
-    ow_tag = tags.get("oneway", "")
-    if ow_tag == "" and tags.get("junction") in ("roundabout", "circular"):
-        ow_tag = "yes"
-    if ow_tag == "yes":
-        ow = "forward"
-    elif ow_tag == "-1":
-        ow = "backward"
-    else:
-        ow = oneway_for_driving(specs)
-        if sum(1 for s in specs if s.lt == DRIVING) == 1:
-            ow = None
+    # lane-direction-derived onewayness, mirror of lanes_udf
+    # (road.rs:228-254)
+    ow = oneway_for_driving(specs)
     fingerprint = json.dumps(
         {k: v for k, v in sorted(tags.items())
          if any(k.startswith(p) for p in LANE_KEYS)},
