@@ -202,7 +202,7 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
     # lane specs for cycleway=opposite and cycleway:both=no, which is
     # what lets the reference splice the borough_sausage_links chains
     if val in (None, "no", "none", "separate", "opposite", "shared_lane",
-               "shared"):
+               "shared", "share_busway", "opposite_share_busway"):
         return None, []
     kind = "track" if val in ("track", "opposite_track") else "lane"
     twoway = (
@@ -243,13 +243,16 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         specs = [LaneSpec(SHARED_USE, FWD, default_width(SHARED_USE, "", hw))]
     elif hw == "cycleway":
         w = default_width(BIKING, "", hw)
-        if tags.get("oneway") == "yes":
+        if tags.get("foot") == "yes" and tags.get("segregated") != "yes":
+            # foot-shared unsegregated cycleway = ONE 3 m shared-use
+            # lane regardless of bike onewayness (bristol golden:
+            # 280732115 renders 3.0 m wide, not 6.0)
+            specs = [LaneSpec(SHARED_USE, FWD,
+                              default_width(SHARED_USE, "", hw))]
+        elif tags.get("oneway") == "yes":
             specs = [LaneSpec(BIKING, FWD, w)]
         else:
             specs = [LaneSpec(BIKING, BACK, w), LaneSpec(BIKING, FWD, w)]
-        if tags.get("foot") == "yes":
-            specs = [LaneSpec(SHARED_USE, s.dir, default_width(SHARED_USE, "", hw))
-                     for s in specs]
     if specs is not None:
         if construction:
             for s in specs:

@@ -31,6 +31,88 @@ from pyspark.sql.types import (
 from ..geom.core import simplify_rdp, polyline_length
 
 
+def _recompute_trims_at(roads: list[dict], i_ids: set) -> None:
+    """Eager per-junction trim refresh, mirroring the reference's
+    update_i calls from insert_road/remove_road (lib.rs:99-121): after a
+    T2 splice, both endpoints of the new road get their geometry
+    recomputed, which can flag newly trim-annihilated roads for the
+    SECOND CollapseShortRoads pass (the cascade the goldens encode:
+    bristol/taipei crossing stubs only annihilate after their
+    neighbors splice). Runs the same pure kernel as T6."""
+    import math
+
+    import numpy as np
+
+    from ..geom.intersection_kernel import (
+        sort_roads_cw, compute_trims_ex, terminus_geometry,
+    )
+
+    incident: dict[int, list] = {}
+    for r in roads:
+        if r["src_i"] in i_ids:
+            incident.setdefault(r["src_i"], []).append((r, True))
+        if r["dst_i"] in i_ids:
+            incident.setdefault(r["dst_i"], []).append((r, False))
+
+    def _pre(r, is_src):
+        v = r.get("pretrim_src") if is_src else r.get("pretrim_dst")
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return float(v)
+
+    def _set(r, is_src, t):
+        if is_src:
+            r["trim_start"] = float(t)
+        else:
+            r["trim_end"] = float(t)
+
+    touched: dict[int, dict] = {}
+    for i, ends in incident.items():
+        if len(ends) == 1:
+            r, is_src = ends[0]
+            pre = _pre(r, is_src)
+            if pre is not None:
+                _set(r, is_src, pre)
+            else:
+                xy = np.asarray(r["xy"], dtype=float).reshape(-1, 2)
+                if not is_src:
+                    xy = xy[::-1]
+                is_edge = bool((r.get("src_is_edge") if is_src
+                                else r.get("dst_is_edge")) or False)
+                t, _ = terminus_geometry(
+                    xy, max(float(r["total_width"]), 1.0), is_edge)
+                _set(r, is_src, t)
+            touched[id(r)] = r
+            continue
+        kends = []
+        for r, is_src in ends:
+            xy = np.asarray(r["xy"], dtype=float).reshape(-1, 2)
+            hw = str(r.get("highway_type") or "")
+            kends.append({
+                "key": (r["road_id"], is_src), "road_id": r["road_id"],
+                "is_src_end": is_src, "xy": xy if is_src else xy[::-1],
+                "width": float(r["total_width"]),
+                "is_link": hw.endswith("_link") or hw == "motorway",
+                "pretrim": _pre(r, is_src),
+                "other_i": r["dst_i"] if is_src else r["src_i"],
+            })
+            touched[id(r)] = r
+        cw = sort_roads_cw(kends)
+        if any(e["pretrim"] is not None for e in cw):
+            trims = {e["key"]: float(e["pretrim"] or 0.0) for e in cw}
+        else:
+            trims, _mode = compute_trims_ex(cw)
+        for r, is_src in ends:
+            _set(r, is_src, trims[(r["road_id"], is_src)])
+
+    for r in touched.values():
+        length = polyline_length(
+            np.asarray(r["xy"], dtype=float).reshape(-1, 2))
+        t0 = float(r.get("trim_start") or 0.0)
+        t1 = float(r.get("trim_end") or 0.0)
+        r["too_short"] = bool(t0 + t1 >= length)
+
+
 # ---------------------------------------------------------------------------
 # pure-python per-doc kernel
 # ---------------------------------------------------------------------------
@@ -168,7 +250,8 @@ def collapse_short_roads(roads: list[dict],
     return out
 
 
-def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
+def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0,
+                        touched_is: set | None = None) -> list[dict]:
     """T2 (transform/collapse_intersections.rs:9-87): splice the two
     roads of a 2-road intersection into one when lane specs, name,
     highway type, layer and placement all match, neither road carries a
@@ -268,6 +351,11 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0) -> list[dict]:
         merged["trim_end"] = b.get("trim_end")
         merged["pretrim_dst"] = b.get("pretrim_dst")
         merged["xy"] = new_xy.ravel().tolist()
+        if touched_is is not None:
+            # insert_road(lib.rs:99-108) refreshes geometry at both
+            # endpoints of the spliced road
+            touched_is.add(merged["src_i"])
+            touched_is.add(merged["dst_i"])
         # MULTISET union, like the reference's osm_ids.extend — a way
         # split by an interior loop and re-spliced legitimately lists
         # its id twice (quad_intersection golden: [6390208, 6390208])
@@ -384,7 +472,13 @@ def apply_standard_transforms(roads: list[dict],
     if with_sidepath_zip:
         roads = zip_sidepaths(roads)
     roads = collapse_short_roads(roads, imerges)
-    roads = collapse_degenerate(roads)
+    touched: set = set()
+    roads = collapse_degenerate(roads, touched_is=touched)
+    if touched:
+        # the reference recomputes junction geometry eagerly after each
+        # splice; newly trim-annihilated roads become candidates for
+        # the SECOND CollapseShortRoads pass
+        _recompute_trims_at(roads, touched)
     roads = collapse_short_roads(roads, imerges)
     if imerges is not None:
         # close chains across the two passes (dst of pass 1 may itself

@@ -197,12 +197,18 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                      "width", "est_width", "maxspeed", "lanes",
                      "tracktype")
         from functools import reduce
+        # maxheight enters the fingerprint only when METRIC — muv's
+        # distance parser drops values it can't read, so an imperial
+        # maxheight (seattle 14'0") does NOT distinguish lanes while a
+        # metric one (bristol 2.6 building passage) does
         roads = roads.withColumn(
             "lane_fingerprint",
             F.to_json(F.map_filter(
                 F.from_json("tags_json", "map<string,string>"),
                 lambda k, v: reduce(lambda x, y: x | y,
-                                    (k.startswith(p) for p in lane_keys)),
+                                    (k.startswith(p) for p in lane_keys))
+                | ((k == "maxheight")
+                   & v.rlike(r"^\d+(\.\d+)?\s*m?$")),
             )))
 
         tout = run_transforms(roads, cfg.zip_sidepaths,

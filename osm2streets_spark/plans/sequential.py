@@ -53,6 +53,7 @@ from ..xxh import xxhash64
 M_PER_DEG = 111_319.490793
 LANE_KEYS = ("surface", "smoothness", "oneway", "service", "width",
              "est_width", "maxspeed", "lanes", "tracktype")
+_METRIC_MAXHEIGHT = re.compile(r"^\d+(\.\d+)?\s*m?$")
 
 
 def _qz(v: float) -> int:
@@ -101,7 +102,8 @@ def _lane_cols(tags: dict, driving_side: str, inferred_sidewalks: bool) -> dict:
     ow = oneway_for_driving(specs)
     fingerprint = json.dumps(
         {k: v for k, v in sorted(tags.items())
-         if any(k.startswith(p) for p in LANE_KEYS)},
+         if any(k.startswith(p) for p in LANE_KEYS)
+         or (k == "maxheight" and _METRIC_MAXHEIGHT.match(v or ""))},
         separators=(",", ":"))
     return {
         "lane_specs_json": json.dumps([s.as_dict() for s in specs],
