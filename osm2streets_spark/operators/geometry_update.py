@@ -265,29 +265,56 @@ def t6_process(pdf: pd.DataFrame, trims_only: bool = False) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
 
 
+def stream_groups(batches, key_cols: list[str], process):
+    """Process Arrow batches of KEY-SORTED rows with bounded memory:
+    each batch's complete key groups are handled eagerly; only the rows
+    of the batch's final key (possibly continuing into the next batch)
+    carry forward. Peak per-task pandas footprint = one Arrow batch +
+    one group, instead of the whole shuffled partition — the difference
+    between bounded memory and an OOM on a skewed 100 TB partition.
+    Requires the caller to sortWithinPartitions on key_cols."""
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        last = pdf.iloc[-1]
+        mask = None
+        for k in key_cols:
+            m = pdf[k] == last[k]
+            mask = m if mask is None else (mask & m)
+        carry = pdf[mask]
+        head = pdf[~mask]
+        if len(head):
+            yield process(head)
+    if carry is not None and len(carry):
+        yield process(carry)
+
+
 def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
     """road_ends columns: doc_id, i_id, road_id, is_src_end, xy,
     total_width, driveable, can_out, can_in, restrictions_json,
     driving_side.
 
-    Physical shape: hash-repartition on the full group key, then ONE
-    mapInPandas per partition with an in-batch pandas groupby — same
-    semantics as groupBy().applyInPandas but without the per-group
-    Arrow/pandas plumbing overhead (junction groups are 1-6 rows; at
-    ~40k junctions that overhead dominated the stage)."""
+    Physical shape: hash-repartition on the full group key, sort within
+    partitions so junction groups are contiguous, then ONE mapInPandas
+    that streams complete groups per Arrow batch (stream_groups) — the
+    per-group semantics of groupBy().applyInPandas without its
+    per-group plumbing overhead (junction groups are 1-6 rows) and
+    without materializing the partition."""
     spark = road_ends.sparkSession
     n = spark.sparkContext.defaultParallelism * 4
 
     def batched(batches):
-        pdfs = [p for p in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        yield t6_process(pdf, trims_only)
+        yield from stream_groups(
+            batches, ["doc_id", "i_id"],
+            lambda pdf: t6_process(pdf, trims_only))
 
-    return road_ends.repartition(n, "doc_id", "i_id").mapInPandas(
-        batched, schema=TRIM_SCHEMA
-    )
+    return road_ends.repartition(n, "doc_id", "i_id") \
+        .sortWithinPartitions("doc_id", "i_id") \
+        .mapInPandas(batched, schema=TRIM_SCHEMA)
 
 
 def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,

@@ -664,11 +664,7 @@ def run_transforms(roads: DataFrame,
     spark = src.sparkSession
     n = spark.sparkContext.defaultParallelism * 4
 
-    def batched(batches):
-        pdfs = [p for p in batches]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    def _process(pdf):
         outs = [
             _transform_doc(doc_id, g.drop(columns=["_tcell"]),
                            with_sidepath_zip, with_remove_disconnected,
@@ -676,8 +672,13 @@ def run_transforms(roads: DataFrame,
             for (doc_id, cell), g in pdf.groupby(["doc_id", "_tcell"],
                                                  sort=False)
         ]
-        yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
-    return src.select(*cols).repartition(n, "doc_id", "_tcell").mapInPandas(
-        batched, schema=TRANSFORM_SCHEMA
-    )
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id", "_tcell"], _process)
+
+    # sortWithinPartitions makes (doc, cell) groups contiguous so
+    # stream_groups bounds per-task memory to one Arrow batch + one
+    # group instead of the whole partition
+    return src.select(*cols).repartition(n, "doc_id", "_tcell")         .sortWithinPartitions("doc_id", "_tcell")         .mapInPandas(batched, schema=TRANSFORM_SCHEMA)
