@@ -136,8 +136,11 @@ def left_edge_offset(pos: dict, specs: list[LaneSpec],
 def placement_shift(tags: dict, specs: list[LaneSpec],
                     driving_side: str = "right") -> float:
     """Signed meters to shift the reference line RIGHT to obtain the
-    full-width center line (road.rs:166-193). Varying/transition
-    placements use the start position (linear-interp refinement TODO)."""
+    full-width center line (road.rs:166-193). Varying placements use
+    the START position — NOT an approximation: the reference does the
+    same (road.rs:174-176 warns "varying placement not yet supported,
+    using placement:start"); transition pretends default placement
+    (road.rs:178-182)."""
     p = parse_placement(tags)
     off = left_edge_offset(p["start"], specs, driving_side)
     total = sum(s.width for s in specs)

@@ -97,3 +97,85 @@ def r_hop_neighborhood(roads: DataFrame, rounds: int = 3) -> DataFrame:
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+PATH_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("profile", StringType()),
+    StructField("from_i", LongType()),
+    StructField("to_i", LongType()),
+    StructField("dist_m", DoubleType()),
+    StructField("n_roads", LongType()),
+    StructField("way_path", StringType()),
+])
+
+# lane-char sets for simple_path profiles (reference simple_path takes
+# a &[LaneType]; chars per lanes/inference.TO_CHAR)
+PROFILES = {
+    "drive": set("dB"),
+    "foot": set("sfF"),
+    "bike": set("bF"),
+}
+
+
+def simple_paths(roads: DataFrame,
+                 profiles: dict[str, set] | None = None) -> DataFrame:
+    """G2 simple_path (pathfinding.rs:31-69): A* (zero heuristic ⇒
+    Dijkstra) over a DIRECTED graph that only includes a road direction
+    when one of the requested lane types travels that way — a
+    footway-only profile routes through footways a driving profile
+    cannot use. One deterministic (min-id → max-id) path per doc per
+    profile; way_path records the way ids crossed."""
+    profiles = profiles or PROFILES
+    src = roads.select("doc_id", "way_id", "src_i", "dst_i", "length_m",
+                       "lane_chars", "dir_chars")
+    spark = roads.sparkSession
+    n = spark.sparkContext.defaultParallelism * 2
+
+    def batched(batches):
+        import networkx as nx
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = []
+        for doc_id, g_pdf in pdf.groupby("doc_id", sort=False):
+            for prof, lane_set in sorted(profiles.items()):
+                g = nx.DiGraph()
+                for row in g_pdf.itertuples(index=False):
+                    fwd = back = False
+                    for lt, d in zip(row.lane_chars or "",
+                                     row.dir_chars or ""):
+                        if lt in lane_set:
+                            if d == "^":
+                                fwd = True
+                            else:
+                                back = True
+                    w = float(row.length_m)
+                    if fwd:
+                        g.add_edge(int(row.src_i), int(row.dst_i),
+                                   weight=w, way=int(row.way_id))
+                    if back:
+                        g.add_edge(int(row.dst_i), int(row.src_i),
+                                   weight=w, way=int(row.way_id))
+                if not g.nodes:
+                    continue
+                frm, to = min(g.nodes), max(g.nodes)
+                try:
+                    # astar with h=0 ≡ dijkstra (the reference's zero
+                    # heuristic, pathfinding.rs:62)
+                    path = nx.astar_path(g, frm, to, heuristic=None,
+                                         weight="weight")
+                except (nx.NetworkXNoPath, nx.NodeNotFound):
+                    continue
+                dist = sum(g[a][b]["weight"]
+                           for a, b in zip(path, path[1:]))
+                ways = [str(g[a][b]["way"])
+                        for a, b in zip(path, path[1:])]
+                rows.append((doc_id, prof, frm, to, round(dist, 3),
+                             len(ways), ",".join(ways)))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in PATH_SCHEMA.fields])
+
+    return src.repartition(n, "doc_id").mapInPandas(batched, PATH_SCHEMA)

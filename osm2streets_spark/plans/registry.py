@@ -440,6 +440,12 @@ def queries() -> Q:
         "s_intersection_markings": s_intersection_markings,
         "g_shortest_dists": lambda s, d: shortest_dists_from_hubs(
             _net_roads(s, d)),
+        # G2 simple_path (pathfinding.rs:31-69): lane-type-restricted
+        # A*; natural-key projection (xxhash i_ids dropped)
+        "g_simple_paths": lambda s, d: __import__(
+            "osm2streets_spark.operators.pathfinding",
+            fromlist=["simple_paths"]).simple_paths(_net_roads(s, d))
+            .select("doc_id", "profile", "dist_m", "n_roads", "way_path"),
     })
 
     def g_blocks(spark, sf_dir):

@@ -52,3 +52,44 @@ def test_block_membership_pip(spark, fixture_dir):
     ids = {h.feature_id for h in hits}
     assert 1 in ids      # inside the SW block
     assert 2 not in ids  # outside everything
+
+
+def test_simple_path_lane_type_restriction(spark):
+    """G2 (pathfinding.rs:31-69): a footway-only path must differ from
+    the driving path when the shortcut is a footway."""
+    from osm2streets_spark.operators.pathfinding import simple_paths
+
+    # triangle: 1 -> 3 direct is a FOOTWAY (100 m); driving must detour
+    # 1 -> 2 -> 3 (300 m); all roads bidirectional
+    rows = [
+        {"doc_id": "d", "way_id": 10, "src_i": 1, "dst_i": 2,
+         "length_m": 150.0, "lane_chars": "dd", "dir_chars": "^v"},
+        {"doc_id": "d", "way_id": 11, "src_i": 2, "dst_i": 3,
+         "length_m": 150.0, "lane_chars": "dd", "dir_chars": "^v"},
+        {"doc_id": "d", "way_id": 12, "src_i": 1, "dst_i": 3,
+         "length_m": 100.0, "lane_chars": "f", "dir_chars": "^"},
+    ]
+    roads = spark.createDataFrame(rows)
+    got = {r["profile"]: r for r in simple_paths(roads).collect()}
+    assert got["foot"]["way_path"] == "12"
+    assert got["foot"]["dist_m"] == 100.0
+    assert got["drive"]["way_path"] == "10,11"
+    assert got["drive"]["dist_m"] == 300.0
+
+
+def test_simple_path_respects_oneway_lanes(spark):
+    """A oneway road (all lanes forward) is only traversable src->dst."""
+    from osm2streets_spark.operators.pathfinding import simple_paths
+
+    rows = [
+        # 1 -> 3 oneway TOWARD 1 (backward lanes only): unusable 1->3
+        {"doc_id": "d", "way_id": 20, "src_i": 1, "dst_i": 3,
+         "length_m": 100.0, "lane_chars": "dd", "dir_chars": "vv"},
+        {"doc_id": "d", "way_id": 21, "src_i": 1, "dst_i": 2,
+         "length_m": 200.0, "lane_chars": "d", "dir_chars": "^"},
+        {"doc_id": "d", "way_id": 22, "src_i": 2, "dst_i": 3,
+         "length_m": 200.0, "lane_chars": "d", "dir_chars": "^"},
+    ]
+    roads = spark.createDataFrame(rows)
+    got = {r["profile"]: r for r in simple_paths(roads).collect()}
+    assert got["drive"]["way_path"] == "21,22"
