@@ -372,80 +372,162 @@ def collapse_degenerate(roads: list[dict], rdp_eps: float = 1.0,
     return list(by_id.values())
 
 
-def zip_sidepaths(roads: list[dict], max_dist_m: float = 30.0) -> list[dict]:
-    """T3 (operations/zip_sidepath.rs:28-202): a separately-mapped
-    cycleway running parallel to a main road is removed and its lanes
-    (plus a Planters buffer, zip_sidepath.rs:198) spliced into the main
-    road on the nearer side; directions flip when anti-parallel.
+def zip_sidepaths(roads: list[dict], connector_max_m: float = 10.0) -> list[dict]:
+    """T3 (operations/zip_sidepath.rs:28-202), faithful connector walk:
 
-    Matching is the reference's closest-side test (midpoint distance,
-    overall angle within 90°, zip_sidepath.rs:121-141) — the connector-
-    walk refinement (<10 m connectors, :29) is approximated by the
-    distance bound. Divergence documented in STATUS.md."""
+    1. a separately-mapped cycleway is a zip candidate when EACH of its
+       endpoints has exactly one OTHER road shorter than 10 m (the
+       connector); the connector's far side is a main-road intersection
+       (zip_sidepath.rs:29-49)
+    2. the main road segments "parallel to" the sidepath are found by
+       driving-lane pathfinding between those two intersections, trying
+       both directions (:57-63 simple_path with LaneType::Driving)
+    3. the sidepath is removed; its lanes (shoulders stripped, :94-101)
+       plus a Planters buffer are spliced into EVERY main segment on
+       the nearer side, inside an existing outer walkable lane, with
+       directions flipped when anti-parallel (:120-190)
+
+    The reference does not merge osm_ids (its own TODO, :90) and keeps
+    the connectors — CollapseDegenerateIntersections cleans up after
+    (:196-199)."""
     import json as _json
+    import math
 
+    WALKABLE = {"sidewalk", "shoulder", "footway", "shared_use"}
     TO_CHAR = {"driving": "d", "parking": "p", "sidewalk": "s",
                "shoulder": "S", "biking": "b", "bus": "B",
                "shared_left_turn": "C", "construction": "x",
                "light_rail": "l", "buffer": "|", "footway": "f",
                "shared_use": "F"}
 
-    def midpoint_angle(xy_flat):
-        pl = np.asarray(xy_flat, dtype=float).reshape(-1, 2)
-        mid = pl[len(pl) // 2]
-        v = pl[-1] - pl[0]
-        import math
-        return mid, math.degrees(math.atan2(v[1], v[0]))
-
     by_id = {r["road_id"]: r for r in roads}
+    incident: dict[int, list[dict]] = {}
+    for r in roads:
+        incident.setdefault(r["src_i"], []).append(r)
+        incident.setdefault(r["dst_i"], []).append(r)
+
+    def length(r):
+        return polyline_length(np.asarray(r["xy"], float).reshape(-1, 2))
+
+    def mid_angle(r):
+        pl = np.asarray(r["xy"], float).reshape(-1, 2)
+        v = pl[-1] - pl[0]
+        return pl[len(pl) // 2], math.degrees(math.atan2(v[1], v[0]))
+
+    def drive_path(frm, to):
+        """Dijkstra over driving-lane directed edges (simple_path with
+        zero heuristic). Returns road dicts along the path or None."""
+        import heapq
+        adj: dict[int, list] = {}
+        for r in by_id.values():
+            fwd = back = False
+            for l in _json.loads(r["lane_specs_json"]):
+                if l["lt"] == "driving":
+                    if l["dir"] == "forward":
+                        fwd = True
+                    else:
+                        back = True
+            w = length(r)
+            if fwd:
+                adj.setdefault(r["src_i"], []).append((r["dst_i"], w, r))
+            if back:
+                adj.setdefault(r["dst_i"], []).append((r["src_i"], w, r))
+        dist = {frm: 0.0}
+        prev = {}
+        heap = [(0.0, frm)]
+        while heap:
+            d, i = heapq.heappop(heap)
+            if i == to:
+                break
+            if d > dist.get(i, float("inf")):
+                continue
+            for j, w, r in adj.get(i, ()):
+                nd = d + w
+                if nd < dist.get(j, float("inf")):
+                    dist[j] = nd
+                    prev[j] = (i, r)
+                    heapq.heappush(heap, (nd, j))
+        if to not in prev and to != frm:
+            return None
+        path = []
+        i = to
+        while i != frm:
+            i, r = prev[i]
+            path.append(r)
+        return path[::-1] or None
+
     sidepaths = [r for r in roads
                  if r["highway_type"] == "cycleway" and not r["driveable"]]
     for sp in sorted(sidepaths, key=lambda r: r["road_id"]):
-        sp_mid, sp_ang = midpoint_angle(sp["xy"])
-        best = None
-        for r in roads:
-            if r["road_id"] not in by_id or not r["driveable"]:
-                continue
-            r_mid, r_ang = midpoint_angle(r["xy"])
-            d = float(np.hypot(*(sp_mid - r_mid)))
-            ang_diff = abs((sp_ang - r_ang + 90) % 180 - 90)
-            if d <= max_dist_m and ang_diff <= 45:
-                if best is None or d < best[0]:
-                    best = (d, r, r_ang)
-        if best is None:
+        if sp["road_id"] not in by_id:
             continue
-        _, main, main_ang = best
-        # which side of the main road is the sidepath on?
-        pl = np.asarray(main["xy"], dtype=float).reshape(-1, 2)
-        v = pl[-1] - pl[0]
-        w = sp_mid - pl[0]
-        left_side = (v[0] * w[1] - v[1] * w[0]) > 0
-        anti_parallel = abs((sp_ang - main_ang + 180) % 360 - 180) > 90
+        main_ends = []
+        for i in (sp["src_i"], sp["dst_i"]):
+            cands = [o for o in incident.get(i, ())
+                     if o["road_id"] != sp["road_id"]
+                     and o["road_id"] in by_id
+                     and length(o) < connector_max_m]
+            if len(cands) == 1:
+                c = cands[0]
+                main_ends.append(c["dst_i"] if c["src_i"] == i
+                                 else c["src_i"])
+        if len(main_ends) != 2:
+            continue
+        path = drive_path(main_ends[0], main_ends[1])             or drive_path(main_ends[1], main_ends[0])
+        if path is None:
+            continue
 
         sp_lanes = _json.loads(sp["lane_specs_json"])
-        if anti_parallel:
-            sp_lanes = [dict(l, dir=("backward" if l["dir"] == "forward"
-                                     else "forward"))
-                        for l in reversed(sp_lanes)]
-        planter = {"lt": "buffer", "dir": sp_lanes[-1]["dir"] if sp_lanes
-                   else "forward", "width": 2.0, "subtype": "planters",
-                   "allowed_turns": []}
-        main_lanes = _json.loads(main["lane_specs_json"])
-        if left_side:
-            new_lanes = sp_lanes + [planter] + main_lanes
-        else:
-            new_lanes = main_lanes + [planter] + sp_lanes
-        merged = dict(main)
-        merged["lane_specs_json"] = _json.dumps(new_lanes,
-                                                separators=(",", ":"))
-        merged["lane_chars"] = "".join(TO_CHAR[l["lt"]] for l in new_lanes)
-        merged["dir_chars"] = "".join(
-            "^" if l["dir"] == "forward" else "v" for l in new_lanes)
-        merged["total_width"] = round(sum(l["width"] for l in new_lanes), 6)
-        merged["osm_way_ids"] = sorted(
-            set(merged.get("osm_way_ids", [merged["way_id"]]))
-            | set(sp.get("osm_way_ids", [sp["way_id"]])))
-        by_id[main["road_id"]] = merged
+        while sp_lanes and sp_lanes[0]["lt"] == "shoulder":
+            sp_lanes.pop(0)
+        while sp_lanes and sp_lanes[-1]["lt"] == "shoulder":
+            sp_lanes.pop()
+        if not sp_lanes:
+            continue
+        sp_mid, sp_ang = mid_angle(sp)
+
+        for main in path:
+            m_mid, m_ang = mid_angle(main)
+            pl = np.asarray(main["xy"], float).reshape(-1, 2)
+            v = pl[-1] - pl[0]
+            w = sp_mid - pl[0]
+            snap_to_left = (v[0] * w[1] - v[1] * w[0]) > 0
+            oriented_same_way = \
+                abs((sp_ang - m_ang + 180) % 360 - 180) <= 90
+
+            insert = []
+            for l in sp_lanes:
+                l = dict(l)
+                if not oriented_same_way:
+                    l["dir"] = ("backward" if l["dir"] == "forward"
+                                else "forward")
+                insert.append(l)
+            buffer_lane = {"lt": "buffer", "dir": insert[-1]["dir"]
+                           if snap_to_left else insert[0]["dir"],
+                           "width": 2.0, "subtype": "planters",
+                           "allowed_turns": []}
+            if snap_to_left:
+                insert.append(buffer_lane)
+            else:
+                insert.insert(0, buffer_lane)
+
+            lanes = _json.loads(main["lane_specs_json"])
+            if snap_to_left:
+                idx = 1 if lanes and lanes[0]["lt"] in WALKABLE else 0
+            else:
+                idx = (len(lanes) - 1
+                       if lanes and lanes[-1]["lt"] in WALKABLE
+                       else len(lanes))
+            lanes[idx:idx] = insert
+            merged = dict(main)
+            merged["lane_specs_json"] = _json.dumps(
+                lanes, separators=(",", ":"))
+            merged["lane_chars"] = "".join(TO_CHAR[l["lt"]] for l in lanes)
+            merged["dir_chars"] = "".join(
+                "^" if l["dir"] == "forward" else "v" for l in lanes)
+            merged["total_width"] = round(
+                sum(l["width"] for l in lanes), 6)
+            by_id[main["road_id"]] = merged
         del by_id[sp["road_id"]]
     return list(by_id.values())
 

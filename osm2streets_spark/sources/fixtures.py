@@ -615,6 +615,13 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     # sn_movements read these tables, cross-checking all of the
     # distributed glue (joins, trims pivot, pass-1 gate, imerges).
     from ..plans.sequential import convert_documents
+    if sf_name.startswith("sf_scale"):
+        # scaling-evidence corpora are perf-only (heavy synthetic docs,
+        # never oracled — correctness runs at sf0.01); skip the
+        # single-threaded sequential replay that generates gt twins
+        with open(done, "w") as f:
+            f.write(GEN_VERSION + "\n")
+        return out_dir
     road_rows, int_rows = convert_documents(
         (d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(

@@ -13,9 +13,10 @@ def mk_road(rid, src, dst, xy, hw="residential", lanes="s|dd|s",
     specs = []
     for ch in lanes:
         lt = {"s": "sidewalk", "|": "buffer", "d": "driving",
-              "b": "biking"}[ch]
+              "b": "biking", "f": "footway"}[ch]
         specs.append({"lt": lt, "dir": "forward",
-                      "width": {"s": 1.5, "|": 0.1, "d": 3.0, "b": 1.5}[ch],
+                      "width": {"s": 1.5, "|": 0.1, "d": 3.0, "b": 1.5,
+                                "f": 2.0}[ch],
                       "subtype": "", "allowed_turns": []})
     r = {
         "road_id": rid, "way_id": rid, "src_i": src, "dst_i": dst,
@@ -67,21 +68,36 @@ def test_collapse_degenerate_splices():
 
 
 def test_zip_sidepath_splices_lanes():
-    main = mk_road(1, 10, 11, [0, 0, 200, 0], hw="primary")
-    track = mk_road(2, 20, 21, [0, 8, 200, 8], hw="cycleway", lanes="b",
+    """Connector walk (zip_sidepath.rs:28-73): each sidepath endpoint
+    has exactly one <10 m connector to the main road; lanes splice into
+    EVERY main segment along the driving path, plus a planter buffer;
+    the sidepath is removed and the connectors stay."""
+    main_a = mk_road(1, 10, 11, [0, 0, 100, 0], hw="primary")
+    main_b = mk_road(2, 11, 12, [100, 0, 200, 0], hw="primary")
+    track = mk_road(3, 20, 21, [0, 8, 200, 8], hw="cycleway", lanes="b",
                     driveable=False)
-    out = zip_sidepaths([main, track])
-    assert len(out) == 1
-    z = out[0]
-    # track was north (left of west→east travel): bike + planter prepended
-    assert z["lane_chars"] == "b|s|dd|s"
-    assert 2 in z["osm_way_ids"]
-    assert z["total_width"] == main["total_width"] + 1.5 + 2.0
+    conn_w = mk_road(4, 10, 20, [0, 0, 0, 8], hw="footway", lanes="f",
+                     driveable=False)
+    conn_e = mk_road(5, 12, 21, [200, 0, 200, 8], hw="footway", lanes="f",
+                     driveable=False)
+    out = zip_sidepaths([main_a, main_b, track, conn_w, conn_e])
+    by_id = {r["road_id"]: r for r in out}
+    assert 3 not in by_id                      # sidepath removed
+    assert 4 in by_id and 5 in by_id           # connectors stay
+    for rid in (1, 2):                         # BOTH main segments zipped
+        z = by_id[rid]
+        # track is north (left of west->east travel): bike + planter
+        # land inside nothing (first lane is sidewalk -> idx 1)
+        assert z["lane_chars"] == "sb||dd|s", z["lane_chars"]
+        assert z["total_width"] == main_a["total_width"] + 1.5 + 2.0
 
 
-def test_zip_sidepath_ignores_far_track():
+def test_zip_sidepath_requires_connectors():
+    """Without <10 m connectors at both endpoints there is no zip —
+    the old midpoint-distance heuristic would have merged these."""
     main = mk_road(1, 10, 11, [0, 0, 200, 0], hw="primary")
-    far = mk_road(2, 20, 21, [0, 80, 200, 80], hw="cycleway", lanes="b",
-                  driveable=False)
-    out = zip_sidepaths([main, far])
+    near = mk_road(2, 20, 21, [0, 8, 200, 8], hw="cycleway", lanes="b",
+                   driveable=False)
+    out = zip_sidepaths([main, near])
     assert len(out) == 2
+
