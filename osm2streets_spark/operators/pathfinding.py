@@ -21,7 +21,6 @@ DIST_SCHEMA = StructType([
     StructField("src_i", LongType()),
     StructField("dst_i", LongType()),
     StructField("dist_m", DoubleType()),
-    StructField("n_hops", LongType()),
 ])
 
 
@@ -33,9 +32,12 @@ def _doc_graph(pdf: pd.DataFrame):
         # oneway roads are still bidirectional for distance queries in
         # the reference default (pathfinding.rs:14-27 builds Undirected
         # unless oneway — we keep the undirected simplification and
-        # document it)
-        g.add_edge(int(row.src_i), int(row.dst_i),
-                   weight=float(row.length_m))
+        # document it). Parallel edges keep the MIN weight so the graph
+        # is deterministic regardless of row arrival order.
+        a, b, w = int(row.src_i), int(row.dst_i), float(row.length_m)
+        if g.has_edge(a, b):
+            w = min(w, g[a][b]["weight"])
+        g.add_edge(a, b, weight=w)
     return g
 
 
@@ -58,10 +60,13 @@ def shortest_dists_from_hubs(roads: DataFrame, max_hubs: int = 2) -> DataFrame:
             g = _doc_graph(g_pdf)
             hubs = sorted(g.nodes())[:max_hubs]
             for hub in hubs:
-                dist, paths = nx.single_source_dijkstra(g, hub)
+                # distance only — the reference's path_dist_to returns a
+                # Distance (pathfinding.rs:14-27); hop counts are
+                # tie-unstable across equal-length paths
+                dist = nx.single_source_dijkstra_path_length(g, hub)
                 for node, d in dist.items():
-                    rows.append((doc_id, hub, int(node), round(float(d), 3),
-                                 len(paths[node]) - 1))
+                    rows.append((doc_id, hub, int(node),
+                                 round(float(d), 3)))
         yield pd.DataFrame(rows, columns=[f.name for f in DIST_SCHEMA.fields])
 
     return src.repartition(n, "doc_id").mapInPandas(batched, DIST_SCHEMA)

@@ -924,6 +924,10 @@ def oracle_sql() -> dict[str, str]:
              round(trimmed_length, 2) as trimmed_length, lane_chars
       from read_parquet('{fix}/gt_transformed.parquet')
     """
+    o["g_shortest_dists"] = f"""
+      select doc_id, src_i, dst_i, dist_m
+      from read_parquet('{fix}/gt_dists.parquet')
+    """
     o["sn_movements"] = f"""
       select doc_id, qx, qy, kind, control,
              cast(n_movements as bigint) as n_movements

@@ -454,14 +454,40 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
     return roads, ints_out
 
 
+def shortest_dist_rows(doc_id: str, roads: list[dict],
+                       max_hubs: int = 2) -> list[dict]:
+    """Sequential twin of operators/pathfinding.shortest_dists_from_hubs
+    over the FINAL (post-transform, trimmed) road graph: undirected,
+    parallel edges keep the min weight, distances from the first
+    max_hubs node ids."""
+    import networkx as nx
+
+    g = nx.Graph()
+    for r in roads:
+        a, b, w = int(r["src_i"]), int(r["dst_i"]), \
+            float(r["trimmed_length"])
+        if g.has_edge(a, b):
+            w = min(w, g[a][b]["weight"])
+        g.add_edge(a, b, weight=w)
+    out = []
+    for hub in sorted(g.nodes())[:max_hubs]:
+        dist = nx.single_source_dijkstra_path_length(g, hub)
+        for node, d in dist.items():
+            out.append({"doc_id": doc_id, "src_i": hub,
+                        "dst_i": int(node), "dist_m": round(float(d), 3)})
+    return out
+
+
 def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
     """Iterate (doc_id, spans) pairs → (transformed_road_rows,
-    movement_rows) ready for parquet — the gt tables the oracle reads."""
+    movement_rows, dist_rows) ready for parquet — the gt tables the
+    oracles read."""
     from decimal import Decimal, ROUND_HALF_UP
 
-    road_rows, int_rows = [], []
+    road_rows, int_rows, dist_rows = [], [], []
     for doc_id, spans in doc_rows:
         roads, ints = convert_document(doc_id, spans, cfg)
+        dist_rows.extend(shortest_dist_rows(doc_id, roads))
         for r in roads:
             # same rounding as Spark F.round(col, 2): HALF_UP over the
             # shortest decimal representation of the double
@@ -476,4 +502,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             })
         for i in ints:
             int_rows.append({"doc_id": doc_id, **i})
-    return road_rows, int_rows
+    return road_rows, int_rows, dist_rows

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v10"
+GEN_VERSION = "v11"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -622,7 +622,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         with open(done, "w") as f:
             f.write(GEN_VERSION + "\n")
         return out_dir
-    road_rows, int_rows = convert_documents(
+    road_rows, int_rows, dist_rows = convert_documents(
         (d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -636,6 +636,16 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                    pa.string()),
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in dist_rows], pa.string()),
+            "src_i": pa.array([r["src_i"] for r in dist_rows], pa.int64()),
+            "dst_i": pa.array([r["dst_i"] for r in dist_rows], pa.int64()),
+            "dist_m": pa.array([r["dist_m"] for r in dist_rows],
+                               pa.float64()),
+        }),
+        os.path.join(out_dir, "gt_dists.parquet"),
     )
     pq.write_table(
         pa.table({
