@@ -54,24 +54,62 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct rows — per-word base-31 char-code hash
     folded across the n-gram; identical arithmetic on the DuckDB side
     (shingles_oracle_cte), so the oracle matches bit-for-bit. Empty
-    words hash to 0 on both sides."""
-    word_hash = (
-        f"case when length(w) = 0 then cast(0 as bigint) else "
-        f"aggregate(transform(sequence(1, length(w)), q -> "
-        f"ascii(substring(w, q, 1))), cast(0 as bigint), "
-        f"(a, c) -> (a * 31 + c) % {POLY_MOD}) end"
-    )
-    expr = f"""
-      array_distinct(transform(
-        sequence(1, greatest(size(split(text, ' ')) - {n} + 1, 1)), i ->
-          aggregate(
-            transform(
-              sequence(i, least(i + {n} - 1, size(split(text, ' ')))),
-              j -> element_at(split(text, ' '), j)),
-            cast(0 as bigint),
-            (acc, w) -> (acc * 31 + {word_hash}) % {POLY_MOD})))
-    """
-    return docs.select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+    words hash to 0 on both sides.
+
+    Vectorized numpy (same rewrite as text_analysis.fingerprints): the
+    sequential fold equals a powers-of-31 dot product mod M, so word
+    hashes and gram folds compute as array ops instead of a Catalyst
+    higher-order aggregate interpreting one lambda per character —
+    this stage dominated every dedup query's wall time."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    M = POLY_MOD
+    # 31^j mod M for j < 512, precomputed once per executor
+    _P31 = np.empty(512, dtype=np.int64)
+    v = 1
+    for j in range(512):
+        _P31[j] = v
+        v = (v * 31) % M
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _shingles(texts):
+        out = []
+        for t in texts:
+            words = (t or "").split(" ")
+            whs = np.empty(len(words), dtype=np.int64)
+            for k, w in enumerate(words):
+                L = len(w)
+                if L == 0:
+                    whs[k] = 0
+                    continue
+                if L <= 512:
+                    codes = np.fromiter(map(ord, w), dtype=np.int64,
+                                        count=L)
+                    # vectorized fold: Σ c_j·31^(L-1-j) mod M; terms ≤
+                    # 2^31·0x10FFFF ≈ 2^52, sum of ≤512 ≈ 2^61 — safe
+                    whs[k] = int((codes * _P31[:L][::-1]).sum() % M)
+                else:
+                    h = 0
+                    for c in w:
+                        h = (h * 31 + ord(c)) % M
+                    whs[k] = h
+            size = len(words)
+            if size >= n:
+                # full n-grams: acc folds left-to-right over word hashes
+                g = whs[: size - n + 1].copy()
+                for j in range(1, n):
+                    g = (g * 31 + whs[j: size - n + 1 + j]) % M
+            else:
+                h = 0
+                for v in whs:
+                    h = (h * 31 + int(v)) % M
+                g = np.array([h], dtype=np.int64)
+            out.append(np.unique(g).tolist())
+        return pd.Series(out)
+
+    return docs.select("doc_id", F.explode(_shingles("text")).alias("shingle"))
 
 
 def shingles_oracle_cte(doc_table: str, n: int = 3) -> str:
