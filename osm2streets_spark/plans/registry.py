@@ -442,10 +442,12 @@ def queries() -> Q:
             _net_roads(s, d)),
         # G2 simple_path (pathfinding.rs:31-69): lane-type-restricted
         # A*; natural-key projection (xxhash i_ids dropped)
+        # projection keeps only tie-stable columns (equal-length paths
+        # make way ids nondeterministic; distances are unique)
         "g_simple_paths": lambda s, d: __import__(
             "osm2streets_spark.operators.pathfinding",
             fromlist=["simple_paths"]).simple_paths(_net_roads(s, d))
-            .select("doc_id", "profile", "dist_m", "n_roads", "way_path"),
+            .select("doc_id", "profile", "dist_m"),
     })
 
     def g_blocks(spark, sf_dir):
@@ -547,7 +549,11 @@ def queries() -> Q:
         docs = _docs(spark, sf_dir)
         media = multimodal.media_spans(docs)
         dec = multimodal.decode_media(media)
-        return multimodal.frame_sample(dec)
+        fs = multimodal.frame_sample(dec)
+        return fs.select(
+            "doc_id", "media_ref",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("frame_idx").cast("long").alias("frame_idx"))
 
     def mm_media_refs(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -927,6 +933,43 @@ def oracle_sql() -> dict[str, str]:
     o["g_shortest_dists"] = f"""
       select doc_id, src_i, dst_i, dist_m
       from read_parquet('{fix}/gt_dists.parquet')
+    """
+    # mm_media_decode: the decode stub is a DETERMINISTIC FAKE (build
+    # brief: no codec libs in the container) — dims/frame count derive
+    # from the little-endian int64 of the ref's first 8 bytes, so the
+    # whole frame-sampling pipeline has an exact SQL twin.
+    h_expr = " + ".join(
+        f"(case when length(media_ref) > {i} then "
+        f"ascii(substring(media_ref, {i + 1}, 1)) else 0 end)"
+        f" * {256 ** i}::bigint" for i in range(8))
+    o["mm_media_decode"] = f"""
+      with sp as (
+        select doc_id, unnest(spans) as span
+        from read_parquet('{fix}/documents.parquet')
+      ),
+      m as (
+        select doc_id, span.media_ref as media_ref
+        from sp where span.kind = 'media'
+      ),
+      dec as (
+        select doc_id, media_ref,
+               cast(1 + ({h_expr}) % 16 as bigint) as n_frames
+        from m
+      )
+      select doc_id, media_ref, n_frames,
+             cast(unnest(generate_series(0,
+                 greatest(n_frames - 1, 0), 4)) as bigint) as frame_idx
+      from dec
+    """
+    o["s_debug_cw_order"] = f"""
+      select doc_id, qx, qy, road_id, is_src_end,
+             cast(cw_index as bigint) as cw_index,
+             round(trim_m, 3) as trim_m
+      from read_parquet('{fix}/gt_cw_order.parquet')
+    """
+    o["g_simple_paths"] = f"""
+      select doc_id, profile, dist_m
+      from read_parquet('{fix}/gt_paths.parquet')
     """
     o["sn_movements"] = f"""
       select doc_id, qx, qy, kind, control,

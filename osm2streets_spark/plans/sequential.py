@@ -207,7 +207,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
         else:
             rel_rows.append((r[2], json.loads(r[6]), r[7]))
     if not nodes:
-        return [], []
+        return [], [], []
 
     # F2 + tag parses + K1 per way
     ways = {}
@@ -289,7 +289,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                     interior_pts.setdefault(qs[pos], []).append(r)
             roads.append(r)
     if not roads:
-        return [], []
+        return [], [], []
 
     # features (F1) + crossing endpoint flags + way-signal targets
     signal_nodes, crossing_nodes, sig_dirs = set(), set(), {}
@@ -406,9 +406,16 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
     ends2 = _ends_frame(doc_id, roads, cfg.driving_side, restr_by_i)
     trims2 = t6_process(ends2, trims_only=False)
 
-    tmap2, meta = {}, {}
+    tmap2, meta, cw_rows = {}, {}, []
+    q_of_i_all = {v: k for k, v in i_id_of.items()}
     for t in trims2.itertuples(index=False):
         tmap2[(int(t.road_id), bool(t.is_src_end))] = float(t.trim)
+        q = q_of_i_all[int(t.i_id)]
+        cw_rows.append({"qx": q[0], "qy": q[1],
+                        "road_id": int(t.road_id),
+                        "is_src_end": bool(t.is_src_end),
+                        "cw_index": int(t.cw_index),
+                        "trim_m": round(float(t.trim), 3)})
         if t.polygon_xy is not None:
             meta[int(t.i_id)] = (t.kind,
                                  len(json.loads(t.movements_json))
@@ -420,7 +427,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             rebuild_center(r["xy"], t0, t1)
 
     # finalize intersections: roster / signals / control (T7)
-    q_of_i = {v: k for k, v in i_id_of.items()}
+    q_of_i = q_of_i_all
     absorbed_of: dict[int, list[int]] = {}
     for absorbed, surv in imerges.items():
         absorbed_of.setdefault(surv, []).append(absorbed)
@@ -451,7 +458,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             kind = hint
         ints_out.append({"qx": q[0], "qy": q[1], "kind": kind,
                          "control": control, "n_movements": n_mov})
-    return roads, ints_out
+    return roads, ints_out, cw_rows
 
 
 def shortest_dist_rows(doc_id: str, roads: list[dict],
@@ -478,16 +485,72 @@ def shortest_dist_rows(doc_id: str, roads: list[dict],
     return out
 
 
+PROFILES = {"drive": set("dB"), "foot": set("sfF"), "bike": set("bF")}
+
+
+def profile_path_rows(doc_id: str, roads: list[dict]) -> list[dict]:
+    """Sequential twin of operators/pathfinding.simple_paths, projected
+    to the tie-stable columns (distance only)."""
+    import heapq
+
+    out = []
+    for prof, lane_set in sorted(PROFILES.items()):
+        adj: dict[int, list] = {}
+        nodes = set()
+        for r in roads:
+            fwd = back = False
+            for lt, d in zip(r.get("lane_chars") or "",
+                             r.get("dir_chars") or ""):
+                if lt in lane_set:
+                    if d == "^":
+                        fwd = True
+                    else:
+                        back = True
+            w = float(r["trimmed_length"])
+            if fwd or back:
+                nodes.add(int(r["src_i"]))
+                nodes.add(int(r["dst_i"]))
+            if fwd:
+                adj.setdefault(int(r["src_i"]), []).append(
+                    (int(r["dst_i"]), w))
+            if back:
+                adj.setdefault(int(r["dst_i"]), []).append(
+                    (int(r["src_i"]), w))
+        if not nodes:
+            continue
+        frm, to = min(nodes), max(nodes)
+        dist = {frm: 0.0}
+        heap = [(0.0, frm)]
+        while heap:
+            d, i = heapq.heappop(heap)
+            if i == to:
+                break
+            if d > dist.get(i, float("inf")):
+                continue
+            for j, w in adj.get(i, ()):
+                nd = d + w
+                if nd < dist.get(j, float("inf")):
+                    dist[j] = nd
+                    heapq.heappush(heap, (nd, j))
+        if to in dist:
+            out.append({"doc_id": doc_id, "profile": prof,
+                        "dist_m": round(dist[to], 3)})
+    return out
+
+
 def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
     """Iterate (doc_id, spans) pairs → (transformed_road_rows,
-    movement_rows, dist_rows) ready for parquet — the gt tables the
-    oracles read."""
+    movement_rows, dist_rows, cw_rows, path_rows) ready for parquet —
+    the gt tables the oracles read."""
     from decimal import Decimal, ROUND_HALF_UP
 
-    road_rows, int_rows, dist_rows = [], [], []
+    road_rows, int_rows, dist_rows, cw_rows, path_rows = [], [], [], [], []
     for doc_id, spans in doc_rows:
-        roads, ints = convert_document(doc_id, spans, cfg)
+        roads, ints, cws = convert_document(doc_id, spans, cfg)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
+        path_rows.extend(profile_path_rows(doc_id, roads))
+        for c in cws:
+            cw_rows.append({"doc_id": doc_id, **c})
         for r in roads:
             # same rounding as Spark F.round(col, 2): HALF_UP over the
             # shortest decimal representation of the double
@@ -502,4 +565,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             })
         for i in ints:
             int_rows.append({"doc_id": doc_id, **i})
-    return road_rows, int_rows, dist_rows
+    return road_rows, int_rows, dist_rows, cw_rows, path_rows

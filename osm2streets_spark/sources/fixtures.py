@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v11"
+GEN_VERSION = "v12"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -622,8 +622,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         with open(done, "w") as f:
             f.write(GEN_VERSION + "\n")
         return out_dir
-    road_rows, int_rows, dist_rows = convert_documents(
-        (d["doc_id"], d["spans"]) for d in docs)
+    road_rows, int_rows, dist_rows, cw_rows, path_rows = \
+        convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
             "doc_id": pa.array([r["doc_id"] for r in road_rows], pa.string()),
@@ -636,6 +636,30 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                    pa.string()),
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in cw_rows], pa.string()),
+            "qx": pa.array([r["qx"] for r in cw_rows], pa.int64()),
+            "qy": pa.array([r["qy"] for r in cw_rows], pa.int64()),
+            "road_id": pa.array([r["road_id"] for r in cw_rows], pa.int64()),
+            "is_src_end": pa.array([r["is_src_end"] for r in cw_rows],
+                                   pa.bool_()),
+            "cw_index": pa.array([r["cw_index"] for r in cw_rows],
+                                 pa.int64()),
+            "trim_m": pa.array([r["trim_m"] for r in cw_rows], pa.float64()),
+        }),
+        os.path.join(out_dir, "gt_cw_order.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in path_rows], pa.string()),
+            "profile": pa.array([r["profile"] for r in path_rows],
+                                pa.string()),
+            "dist_m": pa.array([r["dist_m"] for r in path_rows],
+                               pa.float64()),
+        }),
+        os.path.join(out_dir, "gt_paths.parquet"),
     )
     pq.write_table(
         pa.table({
