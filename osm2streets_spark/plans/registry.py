@@ -961,6 +961,14 @@ def oracle_sql() -> dict[str, str]:
                  greatest(n_frames - 1, 0), 4)) as bigint) as frame_idx
       from dec
     """
+    # THE FLAGSHIP ORACLE: the full GeoJSON render (feature_json byte
+    # equality, tile assignment, quadkey) against the single-node
+    # sequential replay.
+    o["sn_geojson_features"] = f"""
+      select doc_id, feature_type, feature_id, feature_json,
+             tile_z, tile_x, tile_y, quadkey
+      from read_parquet('{fix}/gt_features.parquet')
+    """
     o["s_debug_cw_order"] = f"""
       select doc_id, qx, qy, road_id, is_src_end,
              cast(cw_index as bigint) as cw_index,

@@ -406,7 +406,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
     ends2 = _ends_frame(doc_id, roads, cfg.driving_side, restr_by_i)
     trims2 = t6_process(ends2, trims_only=False)
 
-    tmap2, meta, cw_rows = {}, {}, []
+    tmap2, meta, cw_rows, rings = {}, {}, [], {}
     q_of_i_all = {v: k for k, v in i_id_of.items()}
     for t in trims2.itertuples(index=False):
         tmap2[(int(t.road_id), bool(t.is_src_end))] = float(t.trim)
@@ -420,10 +420,11 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             meta[int(t.i_id)] = (t.kind,
                                  len(json.loads(t.movements_json))
                                  if t.movements_json else 0)
+            rings[int(t.i_id)] = (list(t.polygon_xy), t.movements_json)
     for r in roads:
         t0 = tmap2.get((r["road_id"], True), 0.0)
         t1 = tmap2.get((r["road_id"], False), 0.0)
-        _, r["trimmed_length"], r["too_short"] = \
+        r["center_xy"], r["trimmed_length"], r["too_short"] = \
             rebuild_center(r["xy"], t0, t1)
 
     # finalize intersections: roster / signals / control (T7)
@@ -456,8 +457,14 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             control = "Signed"
         if kind is None:
             kind = hint
+        ring_mv = rings.get(i)
         ints_out.append({"qx": q[0], "qy": q[1], "kind": kind,
-                         "control": control, "n_movements": n_mov})
+                         "control": control, "n_movements": n_mov,
+                         "i_id": i,
+                         "osm_node_ids": sorted(set(roster)),
+                         "polygon_xy": ring_mv[0] if ring_mv else None,
+                         "movements_json": ring_mv[1] if ring_mv else None,
+                         "lon0": lon0, "lat0": lat0})
     return roads, ints_out, cw_rows
 
 
@@ -482,6 +489,89 @@ def shortest_dist_rows(doc_id: str, roads: list[dict],
         for node, d in dist.items():
             out.append({"doc_id": doc_id, "src_i": hub,
                         "dst_i": int(node), "dist_m": round(float(d), 3)})
+    return out
+
+
+def _quadkey(z: int, x: int, y: int) -> str:
+    return "".join(str(((x >> (i - 1)) & 1) + 2 * ((y >> (i - 1)) & 1))
+                   for i in range(z, 0, -1))
+
+
+def _tile_xy(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+    n = float(2 ** zoom)
+    x = math.floor((lon + 180.0) / 360.0 * n)
+    lr = math.radians(lat)
+    y = math.floor((1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr))
+                    / 3.141592653589793) / 2.0 * n)
+    return (max(0, min(int(x), int(n) - 1)),
+            max(0, min(int(y), int(n) - 1)))
+
+
+def feature_rows(doc_id: str, roads: list[dict], ints: list[dict],
+                 cell_zoom: int = 16) -> list[dict]:
+    """Sequential twin of the flagship render (operators/render.py +
+    tiles.py): one GeoJSON polygon per road (center line thickened by
+    total width) and per intersection, byte-identical feature_json
+    (same struct key order, null omission, coordinate rounding and
+    compact separators as Spark's to_json + the render UDFs), plus the
+    zoom-16 tile assignment and quadkey."""
+    from ..geom.core import thicken_polyline, xy_to_lonlat
+
+    out = []
+
+    def _feat(ring_xy, lon0, lat0, props):
+        ll = xy_to_lonlat(np.asarray(ring_xy, float).reshape(-1, 2),
+                          lon0, lat0)
+        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        feat = {"type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [coords]},
+                "properties": props}
+        c = ll.mean(axis=0)
+        return (json.dumps(feat, separators=(",", ":")),
+                float(c[0]), float(c[1]))
+
+    for r in roads:
+        # Spark to_json drops null fields — mirror by omission
+        props = {"id": int(r["road_id"]), "type": "road",
+                 "osm_way_ids": [int(w) for w in r["osm_way_ids"]],
+                 "src_i": int(r["src_i"]), "dst_i": int(r["dst_i"])}
+        if r.get("highway_type") is not None:
+            props["highway"] = r["highway_type"]
+        if r.get("name") is not None:
+            props["name"] = r["name"]
+        if r.get("layer") is not None:
+            props["layer"] = int(r["layer"])
+        if r.get("lane_chars") is not None:
+            props["lanes_ltr"] = r["lane_chars"]
+        if r.get("dir_chars") is not None:
+            props["dirs_ltr"] = r["dir_chars"]
+        ring = thicken_polyline(
+            np.asarray(r["center_xy"], float).reshape(-1, 2),
+            float(r["total_width"]))
+        fj, c_lon, c_lat = _feat(ring, r["lon0"], r["lat0"], props)
+        tx, ty = _tile_xy(c_lon, c_lat, cell_zoom)
+        out.append({"doc_id": doc_id, "feature_type": "road",
+                    "feature_id": int(r["road_id"]), "feature_json": fj,
+                    "tile_z": cell_zoom, "tile_x": tx, "tile_y": ty,
+                    "quadkey": _quadkey(cell_zoom, tx, ty)})
+    for i in ints:
+        if i.get("polygon_xy") is None:
+            continue
+        props = {"id": int(i["i_id"]), "type": "intersection",
+                 "osm_node_ids": [int(n) for n in i["osm_node_ids"]]}
+        if i.get("kind") is not None:
+            props["intersection_kind"] = i["kind"]
+        if i.get("control") is not None:
+            props["control"] = i["control"]
+        if i.get("movements_json") is not None:
+            props["movements"] = i["movements_json"]
+        fj, c_lon, c_lat = _feat(i["polygon_xy"], i["lon0"], i["lat0"],
+                                 props)
+        tx, ty = _tile_xy(c_lon, c_lat, cell_zoom)
+        out.append({"doc_id": doc_id, "feature_type": "intersection",
+                    "feature_id": int(i["i_id"]), "feature_json": fj,
+                    "tile_z": cell_zoom, "tile_x": tx, "tile_y": ty,
+                    "quadkey": _quadkey(cell_zoom, tx, ty)})
     return out
 
 
@@ -544,11 +634,13 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
     the gt tables the oracles read."""
     from decimal import Decimal, ROUND_HALF_UP
 
-    road_rows, int_rows, dist_rows, cw_rows, path_rows = [], [], [], [], []
+    road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows = \
+        [], [], [], [], [], []
     for doc_id, spans in doc_rows:
         roads, ints, cws = convert_document(doc_id, spans, cfg)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
         path_rows.extend(profile_path_rows(doc_id, roads))
+        feat_rows.extend(feature_rows(doc_id, roads, ints, cfg.cell_zoom))
         for c in cws:
             cw_rows.append({"doc_id": doc_id, **c})
         for r in roads:
@@ -565,4 +657,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             })
         for i in ints:
             int_rows.append({"doc_id": doc_id, **i})
-    return road_rows, int_rows, dist_rows, cw_rows, path_rows
+    return road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v12"
+GEN_VERSION = "v13"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -622,7 +622,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         with open(done, "w") as f:
             f.write(GEN_VERSION + "\n")
         return out_dir
-    road_rows, int_rows, dist_rows, cw_rows, path_rows = \
+    road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -636,6 +636,23 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                    pa.string()),
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in feat_rows], pa.string()),
+            "feature_type": pa.array([r["feature_type"] for r in feat_rows],
+                                     pa.string()),
+            "feature_id": pa.array([r["feature_id"] for r in feat_rows],
+                                   pa.int64()),
+            "feature_json": pa.array([r["feature_json"] for r in feat_rows],
+                                     pa.string()),
+            "tile_z": pa.array([r["tile_z"] for r in feat_rows], pa.int32()),
+            "tile_x": pa.array([r["tile_x"] for r in feat_rows], pa.int64()),
+            "tile_y": pa.array([r["tile_y"] for r in feat_rows], pa.int64()),
+            "quadkey": pa.array([r["quadkey"] for r in feat_rows],
+                                pa.string()),
+        }),
+        os.path.join(out_dir, "gt_features.parquet"),
     )
     pq.write_table(
         pa.table({
