@@ -144,15 +144,24 @@ def ann_lsh_buckets(emb: DataFrame) -> DataFrame:
 
 
 def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 32) -> DataFrame:
-    """Bucketed ANN: exact cosine, but only within matching LSH buckets
-    (plus re-rank). Approximate — recall measured in tests."""
+    """Bucketed ANN: exact cosine re-rank over candidates from the
+    query's own bucket plus all 8 Hamming-distance-1 probes (classic
+    multiprobe LSH — a sign flip on one hyperplane is the most likely
+    miss). Candidates ≈ 9/256 of the corpus per query; recall measured
+    in tests/test_similarity_recall.py: high on clustered embeddings,
+    intrinsically low on uniform-random vectors whose "neighbors" are
+    near-orthogonal (that is the data, not the index)."""
     from pyspark.sql import Window
 
     b = ann_lsh_buckets(emb)
     e = emb.join(b, "vec_id")
+    probes = F.array(*(
+        [F.col("bucket")] +
+        [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)]
+    ))
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        F.col("bucket"))
+        F.explode(probes).alias("bucket"))
     v = e.select(F.col("vec_id").alias("neighbor_id"),
                  F.col("embedding").alias("n_emb"), F.col("bucket"))
     cos = _dot(F.col("q_emb"), F.col("n_emb")) \

@@ -1,0 +1,54 @@
+"""Measured recall of the multiprobe LSH ANN against the brute-force
+baseline. Two regimes:
+
+* clustered embeddings (the data ANN exists for): recall must be high
+* the driver's uniform-random embeddings: top-5 "neighbors" are
+  near-orthogonal, so any LSH's recall is intrinsically low — measured
+  and floor-asserted so a regression in the index still fails loudly
+"""
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _recall(spark, emb):
+    from osm2streets_spark.operators.similarity import (
+        ann_topk, ann_topk_lsh,
+    )
+
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(emb, k=5).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_lsh(emb, k=5).collect()}
+    return len(brute & lsh) / max(len(brute), 1)
+
+
+def test_ann_lsh_recall_clustered(spark):
+    rng = np.random.RandomState(3)
+    centers = rng.randn(40, 64) * 4.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(12):
+            rows.append((vid, (c + rng.randn(64) * 0.3).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.cache()
+    r = _recall(spark, emb)
+    assert r >= 0.8, f"clustered recall too low: {r:.3f}"
+
+
+def test_ann_lsh_recall_random_corpus(spark):
+    import os
+
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        pytest.skip("driver embeddings table not present")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    r = _recall(spark, emb)
+    # uniform-random 64-dim vectors: nearest neighbors sit at ~70deg,
+    # P(agree on one hyperplane) ~ 0.6, so even 9-probe recall is small
+    # by construction. The floor catches index regressions (e.g. broken
+    # probes -> near zero), not data hardness.
+    assert r >= 0.05, f"LSH recall collapsed: {r:.3f}"
