@@ -127,89 +127,98 @@ def render_intersections(ints: DataFrame) -> DataFrame:
 LANE_POLY = ArrayType(StringType())
 
 
+def lane_polygons_row(raw, tw, lj, lo, la) -> list[str]:
+    """S6 per-road kernel: offset each lane's center from the road
+    center by (cumulative width + w/2 - total/2), buffer by lane width.
+    Pure — shared by the Spark UDF and the sequential replay."""
+    pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+    specs = json.loads(lj)
+    acc = 0.0
+    polys = []
+    for s in specs:
+        w = float(s["width"])
+        # lanes listed left→right; left edge at -total/2
+        # signed offset from road center: negative = left of travel,
+        # matching shift_polyline's positive-right convention
+        offset = acc + w / 2.0 - float(tw) / 2.0
+        lane_center = shift_polyline(pl, offset)
+        ring = thicken_polyline(lane_center, w)
+        ll = xy_to_lonlat(ring, lo, la)
+        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        polys.append(json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [coords]},
+            "properties": {"type": s["lt"], "subtype": s["subtype"],
+                           "direction": s["dir"], "width": w,
+                           "allowed_turns": s["allowed_turns"]},
+        }, separators=(",", ":")))
+        acc += w
+    return polys
+
+
 @F.pandas_udf(LANE_POLY)
 def _lane_polygons(center_xy: pd.Series, total_width: pd.Series,
                    lane_specs_json: pd.Series, lon0: pd.Series,
                    lat0: pd.Series) -> pd.Series:
-    """S6: per-lane polygons — offset each lane's center from the road
-    center by (cumulative width + w/2 - total/2), buffer by lane width."""
-    out = []
-    for raw, tw, lj, lo, la in zip(center_xy, total_width, lane_specs_json,
-                                   lon0, lat0):
-        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
-        specs = json.loads(lj)
-        acc = 0.0
-        polys = []
-        for s in specs:
-            w = float(s["width"])
-            # lanes listed left→right; left edge at -total/2
-            # signed offset from road center: negative = left of travel,
-            # matching shift_polyline's positive-right convention
-            offset = acc + w / 2.0 - float(tw) / 2.0
-            lane_center = shift_polyline(pl, offset)
-            ring = thicken_polyline(lane_center, w)
-            ll = xy_to_lonlat(ring, lo, la)
-            coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
-            polys.append(json.dumps({
-                "type": "Feature",
-                "geometry": {"type": "Polygon", "coordinates": [coords]},
-                "properties": {"type": s["lt"], "subtype": s["subtype"],
-                               "direction": s["dir"], "width": w,
-                               "allowed_turns": s["allowed_turns"]},
-            }, separators=(",", ":")))
-            acc += w
-        out.append(polys)
-    return pd.Series(out)
+    return pd.Series([
+        lane_polygons_row(raw, tw, lj, lo, la)
+        for raw, tw, lj, lo, la in zip(center_xy, total_width,
+                                       lane_specs_json, lon0, lat0)
+    ])
 
 
 ROADWAY_TYPES = {"driving", "bus", "biking", "parking", "shoulder",
                  "shared_left_turn", "construction", "light_rail"}
 
 
+def surfaces_row(raw, tw, lj, lo, la) -> list[str]:
+    """S9 per-road kernel (render/output.rs:20-74): one Surface polygon
+    per contiguous run of same-material lanes. Pure — shared by the
+    Spark UDF and the sequential replay."""
+    pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+    specs = json.loads(lj)
+    feats = []
+    runs = []  # (material, start_offset, width)
+    acc = 0.0
+    for s in specs:
+        w = float(s["width"])
+        if s["lt"] in ROADWAY_TYPES:
+            mat = "asphalt"
+        elif s["lt"] in ("sidewalk", "footway", "shared_use"):
+            mat = "concrete"
+        else:
+            mat = None  # buffers split runs (curb/verge off-roadway)
+        if mat is not None and runs and runs[-1][0] == mat \
+                and abs(runs[-1][1] + runs[-1][2] - acc) < 1e-9:
+            runs[-1] = (mat, runs[-1][1], runs[-1][2] + w)
+        elif mat is not None:
+            runs.append((mat, acc, w))
+        acc += w
+    for mat, start, width in runs:
+        offset = start + width / 2.0 - float(tw) / 2.0
+        center = shift_polyline(pl, offset)
+        ring = thicken_polyline(center, width)
+        ll = xy_to_lonlat(ring, lo, la)
+        coords = [[round(float(x), 7), round(float(y), 7)]
+                  for x, y in ll]
+        feats.append(json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [coords]},
+            "properties": {"type": "surface", "material": mat,
+                           "width": round(width, 3)},
+        }, separators=(",", ":")))
+    return feats
+
+
 @F.pandas_udf(LANE_POLY)
 def _surfaces(center_xy: pd.Series, total_width: pd.Series,
               lane_specs_json: pd.Series, lon0: pd.Series,
               lat0: pd.Series) -> pd.Series:
-    """S9 (render/output.rs:20-74): one Surface polygon per contiguous
-    run of same-material lanes (gaps-and-islands over the LTR lane list;
-    roadway runs → asphalt, walkable runs → sidewalk material)."""
-    out = []
-    for raw, tw, lj, lo, la in zip(center_xy, total_width, lane_specs_json,
-                                   lon0, lat0):
-        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
-        specs = json.loads(lj)
-        feats = []
-        runs = []  # (material, start_offset, width)
-        acc = 0.0
-        for s in specs:
-            w = float(s["width"])
-            if s["lt"] in ROADWAY_TYPES:
-                mat = "asphalt"
-            elif s["lt"] in ("sidewalk", "footway", "shared_use"):
-                mat = "concrete"
-            else:
-                mat = None  # buffers split runs (curb/verge off-roadway)
-            if mat is not None and runs and runs[-1][0] == mat \
-                    and abs(runs[-1][1] + runs[-1][2] - acc) < 1e-9:
-                runs[-1] = (mat, runs[-1][1], runs[-1][2] + w)
-            elif mat is not None:
-                runs.append((mat, acc, w))
-            acc += w
-        for mat, start, width in runs:
-            offset = start + width / 2.0 - float(tw) / 2.0
-            center = shift_polyline(pl, offset)
-            ring = thicken_polyline(center, width)
-            ll = xy_to_lonlat(ring, lo, la)
-            coords = [[round(float(x), 7), round(float(y), 7)]
-                      for x, y in ll]
-            feats.append(json.dumps({
-                "type": "Feature",
-                "geometry": {"type": "Polygon", "coordinates": [coords]},
-                "properties": {"type": "surface", "material": mat,
-                               "width": round(width, 3)},
-            }, separators=(",", ":")))
-        out.append(feats)
-    return pd.Series(out)
+    return pd.Series([
+        surfaces_row(raw, tw, lj, lo, la)
+        for raw, tw, lj, lo, la in zip(center_xy, total_width,
+                                       lane_specs_json, lon0, lat0)
+    ])
 
 
 def render_surfaces(roads: DataFrame) -> DataFrame:

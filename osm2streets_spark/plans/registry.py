@@ -969,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
              tile_z, tile_x, tile_y, quadkey
       from read_parquet('{fix}/gt_features.parquet')
     """
+    o["s_lane_polygons"] = f"""
+      select doc_id, road_id, cast(lane_idx as int) as lane_idx,
+             feature_json
+      from read_parquet('{fix}/gt_lane_polygons.parquet')
+    """
+    o["s_surfaces"] = f"""
+      select doc_id, road_id, cast(surface_idx as int) as surface_idx,
+             feature_json
+      from read_parquet('{fix}/gt_surfaces.parquet')
+    """
     o["s_debug_cw_order"] = f"""
       select doc_id, qx, qy, road_id, is_src_end,
              cast(cw_index as bigint) as cw_index,

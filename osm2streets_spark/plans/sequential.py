@@ -575,6 +575,24 @@ def feature_rows(doc_id: str, roads: list[dict], ints: list[dict],
     return out
 
 
+def layer_rows(doc_id: str, roads: list[dict]):
+    """Sequential twins of render_lane_polygons / render_surfaces —
+    the SAME pure row kernels the Spark UDFs call."""
+    from ..operators.render import lane_polygons_row, surfaces_row
+
+    lane_rows, surf_rows = [], []
+    for r in roads:
+        args = (r["center_xy"], r["total_width"], r["lane_specs_json"],
+                r["lon0"], r["lat0"])
+        for idx, fj in enumerate(lane_polygons_row(*args)):
+            lane_rows.append({"doc_id": doc_id, "road_id": r["road_id"],
+                              "lane_idx": idx, "feature_json": fj})
+        for idx, fj in enumerate(surfaces_row(*args)):
+            surf_rows.append({"doc_id": doc_id, "road_id": r["road_id"],
+                              "surface_idx": idx, "feature_json": fj})
+    return lane_rows, surf_rows
+
+
 PROFILES = {"drive": set("dB"), "foot": set("sfF"), "bike": set("bF")}
 
 
@@ -636,11 +654,15 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
 
     road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows = \
         [], [], [], [], [], []
+    lanepoly_rows, surface_rows = [], []
     for doc_id, spans in doc_rows:
         roads, ints, cws = convert_document(doc_id, spans, cfg)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
         path_rows.extend(profile_path_rows(doc_id, roads))
         feat_rows.extend(feature_rows(doc_id, roads, ints, cfg.cell_zoom))
+        lp, sf_ = layer_rows(doc_id, roads)
+        lanepoly_rows.extend(lp)
+        surface_rows.extend(sf_)
         for c in cws:
             cw_rows.append({"doc_id": doc_id, **c})
         for r in roads:
@@ -657,4 +679,5 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             })
         for i in ints:
             int_rows.append({"doc_id": doc_id, **i})
-    return road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows
+    return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
+            feat_rows, lanepoly_rows, surface_rows)

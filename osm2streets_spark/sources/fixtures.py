@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v13"
+GEN_VERSION = "v14"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -622,7 +622,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         with open(done, "w") as f:
             f.write(GEN_VERSION + "\n")
         return out_dir
-    road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows = \
+    (road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows,
+     lanepoly_rows, surface_rows) = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -637,6 +638,19 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
     )
+    for rows, fname, idx_col in (
+            (lanepoly_rows, "gt_lane_polygons.parquet", "lane_idx"),
+            (surface_rows, "gt_surfaces.parquet", "surface_idx")):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+                "road_id": pa.array([r["road_id"] for r in rows], pa.int64()),
+                idx_col: pa.array([r[idx_col] for r in rows], pa.int32()),
+                "feature_json": pa.array([r["feature_json"] for r in rows],
+                                         pa.string()),
+            }),
+            os.path.join(out_dir, fname),
+        )
     pq.write_table(
         pa.table({
             "doc_id": pa.array([r["doc_id"] for r in feat_rows], pa.string()),
