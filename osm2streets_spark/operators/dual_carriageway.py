@@ -16,6 +16,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def dc_sides_doc(doc_id: str, recs: list[tuple]) -> list[tuple]:
+    """Pure per-doc A7 kernel (dual_carriageways.rs:166-198 trace,
+    :263-281 side lengths). recs: (road_id, src_i, dst_i, name, oneway,
+    length_m) tuples SORTED by road_id. Shared by the Spark wrapper and
+    the sequential replay."""
+    rows = []
+    by_name: dict = {}
+    bidi_nodes: dict = {}
+    for road_id, src_i, dst_i, name, oneway, length_m in recs:
+        if not name:
+            continue
+        if oneway:
+            by_name.setdefault(name, []).append(
+                (road_id, src_i, dst_i, length_m))
+        else:
+            bidi_nodes.setdefault(name, set()).update((src_i, dst_i))
+    for name, edges in sorted(by_name.items()):
+        if len(edges) < 2:
+            continue
+        out_deg, in_deg = {}, {}
+        for _, src_i, dst_i, _ in edges:
+            out_deg[src_i] = out_deg.get(src_i, 0) + 1
+            in_deg[dst_i] = in_deg.get(dst_i, 0) + 1
+        starts = {n for n in out_deg
+                  if out_deg.get(n, 0) > in_deg.get(n, 0)}
+        starts |= {n for n in bidi_nodes.get(name, set()) if n in out_deg}
+        start_set = set(starts)
+        used = set()
+        side = 0
+        for start in sorted(starts):
+            chain, total, node = [], 0.0, start
+            while True:
+                nxt = next((e for e in edges
+                            if e[1] == node and e[0] not in used), None)
+                if nxt is None:
+                    break
+                used.add(nxt[0])
+                chain.append(nxt)
+                total += float(nxt[3] or 0.0)
+                node = nxt[2]
+                if node in start_set:
+                    break
+            if chain:
+                rows.append((doc_id, name, side, len(chain),
+                             round(total, 3)))
+                side += 1
+    return rows
+
+
 def trace_dual_carriageway_sides(roads: DataFrame) -> DataFrame:
     """A7 (dual_carriageways.rs:166-198 trace, :263-281 side lengths):
     between a pair of DC endpoints of one street name, the two oneway
@@ -46,55 +95,11 @@ def trace_dual_carriageway_sides(roads: DataFrame) -> DataFrame:
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         rows = []
         for doc_id, g in pdf.groupby("doc_id", sort=False):
-            by_name = {}
-            bidi_nodes = {}
-            for r in g.sort_values("road_id").itertuples(index=False):
-                if not r.name:
-                    continue
-                if r.oneway:
-                    by_name.setdefault(r.name, []).append(r)
-                else:
-                    bidi_nodes.setdefault(r.name, set()).update(
-                        (r.src_i, r.dst_i))
-            for name, edges in sorted(by_name.items()):
-                if len(edges) < 2:
-                    continue
-                # DC endpoints: where the same-name bidirectional road
-                # attaches (dual_carriageways.rs:38-98), plus any
-                # degree-imbalance start of the oneway subgraph
-                out_deg, in_deg = {}, {}
-                for e in edges:
-                    out_deg[e.src_i] = out_deg.get(e.src_i, 0) + 1
-                    in_deg[e.dst_i] = in_deg.get(e.dst_i, 0) + 1
-                starts = {n for n in out_deg
-                          if out_deg.get(n, 0) > in_deg.get(n, 0)}
-                starts |= {n for n in bidi_nodes.get(name, set())
-                           if n in out_deg}
-                start_set = set(starts)
-                starts = sorted(starts)
-                used = set()
-                side = 0
-                for start in starts:
-                    # walk forward along the oneway direction, stopping
-                    # at the next DC endpoint (each side traced
-                    # separately, dual_carriageways.rs:166-198)
-                    chain, total, node = [], 0.0, start
-                    while True:
-                        nxt = next(
-                            (e for e in edges if e.src_i == node
-                             and e.road_id not in used), None)
-                        if nxt is None:
-                            break
-                        used.add(nxt.road_id)
-                        chain.append(nxt)
-                        total += float(nxt.length_m or 0.0)
-                        node = nxt.dst_i
-                        if node in start_set:
-                            break
-                    if chain:
-                        rows.append((doc_id, name, side, len(chain),
-                                     round(total, 3)))
-                        side += 1
+            recs = [
+                (r.road_id, r.src_i, r.dst_i, r.name, r.oneway, r.length_m)
+                for r in g.sort_values("road_id").itertuples(index=False)
+            ]
+            rows.extend(dc_sides_doc(doc_id, recs))
         yield pd.DataFrame(rows, columns=[f.name for f in SIDE_SCHEMA.fields])
 
     spark = src.sparkSession

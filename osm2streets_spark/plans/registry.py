@@ -969,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
              tile_z, tile_x, tile_y, quadkey
       from read_parquet('{fix}/gt_features.parquet')
     """
+    o["s_multipolygons"] = f"""
+      select doc_id, rel_id, n_outer, n_inner,
+             round(area_deg2, 12) as area_deg2, geojson
+      from read_parquet('{fix}/gt_multipolygons.parquet')
+    """
+    o["sn_dc_side_lengths"] = f"""
+      select doc_id, name, side_idx, n_segments,
+             round(length_m, 3) as length_m
+      from read_parquet('{fix}/gt_dc_sides.parquet')
+    """
     o["s_lane_polygons"] = f"""
       select doc_id, road_id, cast(lane_idx as int) as lane_idx,
              feature_json

@@ -120,6 +120,70 @@ def _lane_cols(tags: dict, driving_side: str, inferred_sidewalks: bool) -> dict:
     }
 
 
+def _multipolygon_rows(doc_id: str, nodes: dict, way_rows: list,
+                       rel_rows: list) -> list[dict]:
+    """Sequential twin of assemble_multipolygons over the RAW parse
+    (same ring assembly kernel, coordinate rounding, area and geojson
+    construction)."""
+    from ..operators.multipolygon import assemble_rings
+
+    ways = {wid: refs for wid, refs, _ in way_rows}
+    out = []
+    for rid, members, tj in rel_rows:
+        tags = json.loads(tj)
+        if tags.get("type") != "multipolygon":
+            continue
+        way_pts = []
+        groups: dict = {}
+        for m in members:
+            if m.get("type") != "way":
+                continue
+            groups[(m["ref"], m.get("role"))] =                 groups.get((m["ref"], m.get("role")), 0) + 1
+        for (wid, role), k in sorted(groups.items(),
+                                     key=lambda t: t[0][0]):
+            refs = ways.get(wid)
+            if refs is None:
+                continue
+            pts = []
+            for nref in refs:
+                if nref not in nodes:
+                    continue
+                lon, lat, _ = nodes[nref]
+                pts.append([round(float(lon), 7), round(float(lat), 7)])
+            if k > 1:
+                # a way listed k times joins with k member rows — each
+                # position appears k times (identical values)
+                pts = [p for p in pts for _ in range(k)]
+            way_pts.append((pts, role))
+        rings = assemble_rings(way_pts)
+        if not rings["outer"]:
+            continue
+        area = 0.0
+        for ring in rings["outer"]:
+            arr = np.asarray(ring)
+            x, y = arr[:, 0], arr[:, 1]
+            area += abs(0.5 * float(np.dot(x, np.roll(y, -1))
+                                    - np.dot(y, np.roll(x, -1))))
+        feat = {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon" if len(rings["outer"]) == 1
+                else "MultiPolygon",
+                "coordinates": (
+                    [rings["outer"][0]] + rings["inner"]
+                    if len(rings["outer"]) == 1
+                    else [[o] for o in rings["outer"]]),
+            },
+            "properties": {"type": "multipolygon", "rel_id": int(rid)},
+        }
+        out.append({"doc_id": doc_id, "rel_id": int(rid),
+                    "n_outer": len(rings["outer"]),
+                    "n_inner": len(rings["inner"]),
+                    "area_deg2": round(area, 12),
+                    "geojson": json.dumps(feat, separators=(",", ":"))})
+    return out
+
+
 def _tile_cell(lon: float, lat: float, zoom: int) -> int:
     n = float(2 ** zoom)
     x = math.floor((lon + 180.0) / 360.0 * n)
@@ -206,8 +270,9 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             way_rows.append((r[2], r[5], r[7]))
         else:
             rel_rows.append((r[2], json.loads(r[6]), r[7]))
+    mp_rows = _multipolygon_rows(doc_id, nodes, way_rows, rel_rows)
     if not nodes:
-        return [], [], []
+        return [], [], [], mp_rows
 
     # F2 + tag parses + K1 per way
     ways = {}
@@ -289,7 +354,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                     interior_pts.setdefault(qs[pos], []).append(r)
             roads.append(r)
     if not roads:
-        return [], [], []
+        return [], [], [], mp_rows
 
     # features (F1) + crossing endpoint flags + way-signal targets
     signal_nodes, crossing_nodes, sig_dirs = set(), set(), {}
@@ -465,7 +530,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                          "polygon_xy": ring_mv[0] if ring_mv else None,
                          "movements_json": ring_mv[1] if ring_mv else None,
                          "lon0": lon0, "lat0": lat0})
-    return roads, ints_out, cw_rows
+    return roads, ints_out, cw_rows, mp_rows
 
 
 def shortest_dist_rows(doc_id: str, roads: list[dict],
@@ -575,6 +640,21 @@ def feature_rows(doc_id: str, roads: list[dict], ints: list[dict],
     return out
 
 
+def dc_side_rows(doc_id: str, roads: list[dict]) -> list[dict]:
+    """Sequential twin of trace_dual_carriageway_sides (same pure
+    kernel over the final roads)."""
+    from ..operators.dual_carriageway import dc_sides_doc
+
+    recs = sorted(
+        ((r["road_id"], r["src_i"], r["dst_i"], r.get("name"),
+          (r.get("oneway_dir") or "") != "", float(r["trimmed_length"]))
+         for r in roads),
+        key=lambda t: t[0])
+    return [{"doc_id": d, "name": n, "side_idx": si,
+             "n_segments": ns, "length_m": lm}
+            for d, n, si, ns, lm in dc_sides_doc(doc_id, recs)]
+
+
 def layer_rows(doc_id: str, roads: list[dict]):
     """Sequential twins of render_lane_polygons / render_surfaces —
     the SAME pure row kernels the Spark UDFs call."""
@@ -654,15 +734,17 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
 
     road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows = \
         [], [], [], [], [], []
-    lanepoly_rows, surface_rows = [], []
+    lanepoly_rows, surface_rows, dc_rows, mp_rows = [], [], [], []
     for doc_id, spans in doc_rows:
-        roads, ints, cws = convert_document(doc_id, spans, cfg)
+        roads, ints, cws, mps = convert_document(doc_id, spans, cfg)
+        mp_rows.extend(mps)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
         path_rows.extend(profile_path_rows(doc_id, roads))
         feat_rows.extend(feature_rows(doc_id, roads, ints, cfg.cell_zoom))
         lp, sf_ = layer_rows(doc_id, roads)
         lanepoly_rows.extend(lp)
         surface_rows.extend(sf_)
+        dc_rows.extend(dc_side_rows(doc_id, roads))
         for c in cws:
             cw_rows.append({"doc_id": doc_id, **c})
         for r in roads:
@@ -680,4 +762,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
         for i in ints:
             int_rows.append({"doc_id": doc_id, **i})
     return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
-            feat_rows, lanepoly_rows, surface_rows)
+            feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows)

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v14"
+GEN_VERSION = "v16"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -623,7 +623,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
             f.write(GEN_VERSION + "\n")
         return out_dir
     (road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows,
-     lanepoly_rows, surface_rows) = \
+     lanepoly_rows, surface_rows, dc_rows, mp_rows) = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -637,6 +637,32 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                    pa.string()),
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in mp_rows], pa.string()),
+            "rel_id": pa.array([r["rel_id"] for r in mp_rows], pa.int64()),
+            "n_outer": pa.array([r["n_outer"] for r in mp_rows], pa.int64()),
+            "n_inner": pa.array([r["n_inner"] for r in mp_rows], pa.int64()),
+            "area_deg2": pa.array([r["area_deg2"] for r in mp_rows],
+                                  pa.float64()),
+            "geojson": pa.array([r["geojson"] for r in mp_rows],
+                                pa.string()),
+        }),
+        os.path.join(out_dir, "gt_multipolygons.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in dc_rows], pa.string()),
+            "name": pa.array([r["name"] for r in dc_rows], pa.string()),
+            "side_idx": pa.array([r["side_idx"] for r in dc_rows],
+                                 pa.int64()),
+            "n_segments": pa.array([r["n_segments"] for r in dc_rows],
+                                   pa.int64()),
+            "length_m": pa.array([r["length_m"] for r in dc_rows],
+                                 pa.float64()),
+        }),
+        os.path.join(out_dir, "gt_dc_sides.parquet"),
     )
     for rows, fname, idx_col in (
             (lanepoly_rows, "gt_lane_polygons.parquet", "lane_idx"),
