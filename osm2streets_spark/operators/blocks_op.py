@@ -42,7 +42,9 @@ def extract_blocks(roads: DataFrame) -> DataFrame:
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         rows = []
         for doc_id, g in pdf.groupby("doc_id", sort=False):
-            rs = g.to_dict("records")
+            # deterministic face enumeration regardless of Arrow row
+            # arrival order (block ids come from the walk order)
+            rs = g.sort_values("road_id").to_dict("records")
             for r in rs:
                 r["xy"] = list(r["xy"])
             for b in find_blocks(rs):

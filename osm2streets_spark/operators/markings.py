@@ -54,19 +54,15 @@ def _point_feature(pt, lon0, lat0, props):
     }, separators=(",", ":"))
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def _lane_markings(center_xy: pd.Series, total_width: pd.Series,
-                   lane_specs_json: pd.Series, lon0: pd.Series,
-                   lat0: pd.Series) -> pd.Series:
-    out = []
-    for raw, tw, lj, lo, la in zip(center_xy, total_width, lane_specs_json,
-                                   lon0, lat0):
+def lane_markings_row(raw, tw, lj, lo, la) -> list[str]:
+    """S7 per-road kernel — pure, shared by the Spark UDF and the
+    sequential replay."""
+    if True:
         pl = np.asarray(raw, dtype=float).reshape(-1, 2)
         specs = json.loads(lj)
         feats = []
         if polyline_length(pl) < 1e-6 or len(specs) < 1:
-            out.append(feats)
-            continue
+            return feats
         # separators between adjacent lanes (W2 adjacent-pair iteration)
         acc = 0.0
         for i in range(len(specs) - 1):
@@ -109,8 +105,18 @@ def _lane_markings(center_xy: pd.Series, total_width: pd.Series,
                 feats.append(_point_feature(
                     pt, lo, la, {"type": "lane arrow", "dir": s["dir"],
                                  "lane": s["lt"]}))
-        out.append(feats)
-    return pd.Series(out)
+        return feats
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _lane_markings(center_xy: pd.Series, total_width: pd.Series,
+                   lane_specs_json: pd.Series, lon0: pd.Series,
+                   lat0: pd.Series) -> pd.Series:
+    return pd.Series([
+        lane_markings_row(raw, tw, lj, lo, la)
+        for raw, tw, lj, lo, la in zip(center_xy, total_width,
+                                       lane_specs_json, lon0, lat0)
+    ])
 
 
 def _parking_hatches(pl, offset, width, orientation, lane_dir, lo, la):

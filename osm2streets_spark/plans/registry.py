@@ -969,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
              tile_z, tile_x, tile_y, quadkey
       from read_parquet('{fix}/gt_features.parquet')
     """
+    o["s_lane_markings"] = f"""
+      select doc_id, road_id, cast(marking_idx as int) as marking_idx,
+             feature_json
+      from read_parquet('{fix}/gt_lane_markings.parquet')
+    """
+    o["g_blocks"] = f"""
+      select doc_id, block_id, kind, n_roads, n_names,
+             round(area_m2, 6) as area_m2, ring_json
+      from read_parquet('{fix}/gt_blocks.parquet')
+    """
     o["s_multipolygons"] = f"""
       select doc_id, rel_id, n_outer, n_inner,
              round(area_deg2, 12) as area_deg2, geojson

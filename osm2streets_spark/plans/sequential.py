@@ -655,12 +655,33 @@ def dc_side_rows(doc_id: str, roads: list[dict]) -> list[dict]:
             for d, n, si, ns, lm in dc_sides_doc(doc_id, recs)]
 
 
+def block_rows(doc_id: str, roads: list[dict]) -> list[dict]:
+    """Sequential twin of operators/blocks_op.extract_blocks (same
+    find_blocks face-walk kernel over road_id-sorted final roads)."""
+    from ..geom.blocks import find_blocks
+
+    rs = [{"road_id": r["road_id"], "src_i": r["src_i"],
+           "dst_i": r["dst_i"], "xy": list(r["xy"]),
+           "name": r.get("name"), "highway_type": r.get("highway_type")}
+          for r in sorted(roads, key=lambda r: r["road_id"])]
+    out = []
+    for b in find_blocks(rs):
+        out.append({"doc_id": doc_id, "block_id": int(b["block_id"]),
+                    "kind": b["kind"], "n_roads": b["n_roads"],
+                    "n_names": b["n_names"], "area_m2": b["area_m2"],
+                    "ring_json": json.dumps(b["ring"],
+                                            separators=(",", ":"))})
+    return out
+
+
 def layer_rows(doc_id: str, roads: list[dict]):
-    """Sequential twins of render_lane_polygons / render_surfaces —
-    the SAME pure row kernels the Spark UDFs call."""
+    """Sequential twins of render_lane_polygons / render_surfaces /
+    render_lane_markings — the SAME pure row kernels the Spark UDFs
+    call."""
+    from ..operators.markings import lane_markings_row
     from ..operators.render import lane_polygons_row, surfaces_row
 
-    lane_rows, surf_rows = [], []
+    lane_rows, surf_rows, mark_rows = [], [], []
     for r in roads:
         args = (r["center_xy"], r["total_width"], r["lane_specs_json"],
                 r["lon0"], r["lat0"])
@@ -670,7 +691,10 @@ def layer_rows(doc_id: str, roads: list[dict]):
         for idx, fj in enumerate(surfaces_row(*args)):
             surf_rows.append({"doc_id": doc_id, "road_id": r["road_id"],
                               "surface_idx": idx, "feature_json": fj})
-    return lane_rows, surf_rows
+        for idx, fj in enumerate(lane_markings_row(*args)):
+            mark_rows.append({"doc_id": doc_id, "road_id": r["road_id"],
+                              "marking_idx": idx, "feature_json": fj})
+    return lane_rows, surf_rows, mark_rows
 
 
 PROFILES = {"drive": set("dB"), "foot": set("sfF"), "bike": set("bF")}
@@ -734,17 +758,21 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
 
     road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows = \
         [], [], [], [], [], []
-    lanepoly_rows, surface_rows, dc_rows, mp_rows = [], [], [], []
+    lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows = \
+        [], [], [], [], []
+    marking_rows = []
     for doc_id, spans in doc_rows:
         roads, ints, cws, mps = convert_document(doc_id, spans, cfg)
         mp_rows.extend(mps)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
         path_rows.extend(profile_path_rows(doc_id, roads))
         feat_rows.extend(feature_rows(doc_id, roads, ints, cfg.cell_zoom))
-        lp, sf_ = layer_rows(doc_id, roads)
+        lp, sf_, mk = layer_rows(doc_id, roads)
         lanepoly_rows.extend(lp)
         surface_rows.extend(sf_)
+        marking_rows.extend(mk)
         dc_rows.extend(dc_side_rows(doc_id, roads))
+        blk_rows.extend(block_rows(doc_id, roads))
         for c in cws:
             cw_rows.append({"doc_id": doc_id, **c})
         for r in roads:
@@ -762,4 +790,5 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
         for i in ints:
             int_rows.append({"doc_id": doc_id, **i})
     return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
-            feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows)
+            feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows,
+            blk_rows, marking_rows)

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v16"
+GEN_VERSION = "v18"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -623,7 +623,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
             f.write(GEN_VERSION + "\n")
         return out_dir
     (road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows,
-     lanepoly_rows, surface_rows, dc_rows, mp_rows) = \
+     lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows,
+     marking_rows) = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -637,6 +638,21 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                    pa.string()),
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in blk_rows], pa.string()),
+            "block_id": pa.array([r["block_id"] for r in blk_rows],
+                                 pa.int64()),
+            "kind": pa.array([r["kind"] for r in blk_rows], pa.string()),
+            "n_roads": pa.array([r["n_roads"] for r in blk_rows], pa.int64()),
+            "n_names": pa.array([r["n_names"] for r in blk_rows], pa.int64()),
+            "area_m2": pa.array([r["area_m2"] for r in blk_rows],
+                                pa.float64()),
+            "ring_json": pa.array([r["ring_json"] for r in blk_rows],
+                                  pa.string()),
+        }),
+        os.path.join(out_dir, "gt_blocks.parquet"),
     )
     pq.write_table(
         pa.table({
@@ -666,7 +682,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     )
     for rows, fname, idx_col in (
             (lanepoly_rows, "gt_lane_polygons.parquet", "lane_idx"),
-            (surface_rows, "gt_surfaces.parquet", "surface_idx")):
+            (surface_rows, "gt_surfaces.parquet", "surface_idx"),
+            (marking_rows, "gt_lane_markings.parquet", "marking_idx")):
         pq.write_table(
             pa.table({
                 "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
