@@ -969,6 +969,12 @@ def oracle_sql() -> dict[str, str]:
              tile_z, tile_x, tile_y, quadkey
       from read_parquet('{fix}/gt_features.parquet')
     """
+    o["sn_stop_lines"] = f"""
+      select doc_id, road_id, node_id, feature, signal_dir,
+             crossing_kind, crossing_island,
+             round(pct_along, 4) as pct_along, snapped_end
+      from read_parquet('{fix}/gt_stop_lines.parquet')
+    """
     o["s_lane_markings"] = f"""
       select doc_id, road_id, cast(marking_idx as int) as marking_idx,
              feature_json

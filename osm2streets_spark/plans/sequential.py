@@ -272,7 +272,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             rel_rows.append((r[2], json.loads(r[6]), r[7]))
     mp_rows = _multipolygon_rows(doc_id, nodes, way_rows, rel_rows)
     if not nodes:
-        return [], [], [], mp_rows
+        return [], [], [], mp_rows, []
 
     # F2 + tag parses + K1 per way
     ways = {}
@@ -354,10 +354,11 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                     interior_pts.setdefault(qs[pos], []).append(r)
             roads.append(r)
     if not roads:
-        return [], [], [], mp_rows
+        return [], [], [], mp_rows, []
 
     # features (F1) + crossing endpoint flags + way-signal targets
     signal_nodes, crossing_nodes, sig_dirs = set(), set(), {}
+    feat_recs = []
     for nid, (lon, lat, tj) in nodes.items():
         tags = json.loads(tj) if tj and tj != "{}" else {}
         hw = tags.get("highway")
@@ -366,6 +367,21 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             sig_dirs[nid] = tags.get("traffic_signals:direction", "")
         elif hw == "crossing":
             crossing_nodes.add(nid)
+        # F1 node_features mirror (extract.py:51-69)
+        if hw in ("traffic_signals", "crossing") \
+                or tags.get("cycleway") == "asl":
+            feature = ("traffic_signals" if hw == "traffic_signals"
+                       else "crossing" if hw == "crossing" else "asl")
+            ck = ("Signalized" if tags.get("crossing") == "traffic_signals"
+                  else "Unmarked" if tags.get("crossing") == "unmarked"
+                  else "Marked" if hw == "crossing" else "")
+            feat_recs.append({
+                "node_id": nid, "feature": feature,
+                "signal_dir": tags.get("traffic_signals:direction", ""),
+                "crossing_kind": ck,
+                "crossing_island":
+                    tags.get("crossing:island", "no") == "yes",
+                "lon": lon, "lat": lat})
     for r in roads:
         r["src_has_crossing"] = r["pt_node_ids"][0] in crossing_nodes or None
         r["dst_has_crossing"] = r["pt_node_ids"][-1] in crossing_nodes or None
@@ -408,6 +424,37 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
         | {x["to_road"] for x in resolved}
     for r in roads:
         r["has_restriction"] = (r["road_id"] in restricted) or None
+
+    # sn_stop_lines twin (J3 snap + 30/70 rule) on the PRE-transform
+    # v0 graph; the Spark query projects the reference line WITHOUT a
+    # placement shift, so re-project shifted roads shift-free here
+    from ..geom.core import project_onto
+    stop_rows = []
+    q_to_roads = interior_pts
+    for f in feat_recs:
+        q = (_qz(f["lon"]), _qz(f["lat"]))
+        for r in q_to_roads.get(q, ()):
+            sh = float(r.get("placement_shift") or 0.0)
+            if abs(sh) > 1e-9:
+                pts0 = np.array([[nodes[n][0], nodes[n][1]]
+                                 for n in r["pt_node_ids"]])
+                pl = simplify_rdp(lonlat_to_xy(pts0, lon0, lat0), 0.5)
+            else:
+                pl = np.asarray(r["xy"], dtype=float).reshape(-1, 2)
+            pt = lonlat_to_xy(np.array([[f["lon"], f["lat"]]]),
+                              lon0, lat0)[0]
+            total = polyline_length(pl)
+            pct = 0.0 if total <= 0 else project_onto(pl, pt) / total
+            pct = round(pct, 4)
+            stop_rows.append({
+                "doc_id": doc_id, "road_id": r["road_id"],
+                "node_id": f["node_id"], "feature": f["feature"],
+                "signal_dir": f["signal_dir"],
+                "crossing_kind": f["crossing_kind"],
+                "crossing_island": f["crossing_island"],
+                "pct_along": pct,
+                "snapped_end": ("start" if pct < 0.3
+                                else "end" if pct > 0.7 else "none")})
 
     # T6 pass 1 (trims only, ungated — the distributed gate must be a
     # no-op; divergence here would redden the oracle)
@@ -530,7 +577,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                          "polygon_xy": ring_mv[0] if ring_mv else None,
                          "movements_json": ring_mv[1] if ring_mv else None,
                          "lon0": lon0, "lat0": lat0})
-    return roads, ints_out, cw_rows, mp_rows
+    return roads, ints_out, cw_rows, mp_rows, stop_rows
 
 
 def shortest_dist_rows(doc_id: str, roads: list[dict],
@@ -760,10 +807,11 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
         [], [], [], [], [], []
     lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows = \
         [], [], [], [], []
-    marking_rows = []
+    marking_rows, stop_rows = [], []
     for doc_id, spans in doc_rows:
-        roads, ints, cws, mps = convert_document(doc_id, spans, cfg)
+        roads, ints, cws, mps, sls = convert_document(doc_id, spans, cfg)
         mp_rows.extend(mps)
+        stop_rows.extend(sls)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
         path_rows.extend(profile_path_rows(doc_id, roads))
         feat_rows.extend(feature_rows(doc_id, roads, ints, cfg.cell_zoom))
@@ -791,4 +839,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             int_rows.append({"doc_id": doc_id, **i})
     return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
             feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows,
-            blk_rows, marking_rows)
+            blk_rows, marking_rows, stop_rows)
