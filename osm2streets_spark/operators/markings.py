@@ -174,32 +174,35 @@ def _parking_hatches(pl, offset, width, orientation, lane_dir, lo, la):
     return feats
 
 
+def stop_line_feature_row(raw, tw, pct, lo, la) -> str:
+    """Perpendicular stop line across the roadway at the snapped
+    position (render/lane_markings.rs draw_stop_lines :192, perp_line
+    :390). Pure — shared by the Spark UDF and the sequential replay."""
+    from ..geom.core import cumulative_lengths, interpolate_along
+
+    pl = np.asarray(raw, dtype=float).reshape(-1, 2)
+    total = polyline_length(pl)
+    d = max(0.0, min(float(pct), 1.0)) * total
+    pt = interpolate_along(pl, d)
+    cl = cumulative_lengths(pl)
+    i = min(int(np.searchsorted(cl, max(d, 1e-9))), len(pl) - 1)
+    t = pl[i] - pl[i - 1] if i > 0 else pl[1] - pl[0]
+    n = np.hypot(t[0], t[1]) or 1.0
+    perp = np.array([t[1], -t[0]]) / n
+    half = float(tw) / 2.0
+    seg = np.array([pt + perp * half, pt - perp * half])
+    return _linestring_feature(seg, lo, la, {"type": "stop line"})
+
+
 @F.pandas_udf(StringType())
 def _stop_line_feature(center_xy: pd.Series, total_width: pd.Series,
                        pct_along: pd.Series, lon0: pd.Series,
                        lat0: pd.Series) -> pd.Series:
-    """Perpendicular stop line across the roadway at the snapped
-    position (render/lane_markings.rs draw_stop_lines :192, perp_line
-    :390)."""
-    from ..geom.core import cumulative_lengths, interpolate_along
-
-    out = []
-    for raw, tw, pct, lo, la in zip(center_xy, total_width, pct_along,
-                                    lon0, lat0):
-        pl = np.asarray(raw, dtype=float).reshape(-1, 2)
-        total = polyline_length(pl)
-        d = max(0.0, min(float(pct), 1.0)) * total
-        pt = interpolate_along(pl, d)
-        cl = cumulative_lengths(pl)
-        i = min(int(np.searchsorted(cl, max(d, 1e-9))), len(pl) - 1)
-        t = pl[i] - pl[i - 1] if i > 0 else pl[1] - pl[0]
-        n = np.hypot(t[0], t[1]) or 1.0
-        perp = np.array([t[1], -t[0]]) / n
-        half = float(tw) / 2.0
-        seg = np.array([pt + perp * half, pt - perp * half])
-        out.append(_linestring_feature(seg, lo, la,
-                                       {"type": "stop line"}))
-    return pd.Series(out)
+    return pd.Series([
+        stop_line_feature_row(raw, tw, pct, lo, la)
+        for raw, tw, pct, lo, la in zip(center_xy, total_width,
+                                        pct_along, lon0, lat0)
+    ])
 
 
 def render_stop_lines(stop_lines: DataFrame, roads: DataFrame) -> DataFrame:

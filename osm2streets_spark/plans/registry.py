@@ -969,6 +969,10 @@ def oracle_sql() -> dict[str, str]:
              tile_z, tile_x, tile_y, quadkey
       from read_parquet('{fix}/gt_features.parquet')
     """
+    o["s_stop_lines"] = f"""
+      select doc_id, road_id, node_id, feature, feature_json
+      from read_parquet('{fix}/gt_stop_line_features.parquet')
+    """
     o["sn_stop_lines"] = f"""
       select doc_id, road_id, node_id, feature, signal_dir,
              crossing_kind, crossing_island,

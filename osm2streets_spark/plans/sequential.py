@@ -272,7 +272,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             rel_rows.append((r[2], json.loads(r[6]), r[7]))
     mp_rows = _multipolygon_rows(doc_id, nodes, way_rows, rel_rows)
     if not nodes:
-        return [], [], [], mp_rows, []
+        return [], [], [], mp_rows, [], []
 
     # F2 + tag parses + K1 per way
     ways = {}
@@ -354,7 +354,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                     interior_pts.setdefault(qs[pos], []).append(r)
             roads.append(r)
     if not roads:
-        return [], [], [], mp_rows, []
+        return [], [], [], mp_rows, [], []
 
     # features (F1) + crossing endpoint flags + way-signal targets
     signal_nodes, crossing_nodes, sig_dirs = set(), set(), {}
@@ -429,11 +429,16 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
     # v0 graph; the Spark query projects the reference line WITHOUT a
     # placement shift, so re-project shifted roads shift-free here
     from ..geom.core import project_onto
+    from ..operators.markings import stop_line_feature_row
     stop_rows = []
+    stop_feat_rows = []
     q_to_roads = interior_pts
     for f in feat_recs:
         q = (_qz(f["lon"]), _qz(f["lat"]))
         for r in q_to_roads.get(q, ()):
+            pt = lonlat_to_xy(np.array([[f["lon"], f["lat"]]]),
+                              lon0, lat0)[0]
+            # sn_stop_lines projects SHIFT-FREE reference lines
             sh = float(r.get("placement_shift") or 0.0)
             if abs(sh) > 1e-9:
                 pts0 = np.array([[nodes[n][0], nodes[n][1]]
@@ -441,8 +446,6 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                 pl = simplify_rdp(lonlat_to_xy(pts0, lon0, lat0), 0.5)
             else:
                 pl = np.asarray(r["xy"], dtype=float).reshape(-1, 2)
-            pt = lonlat_to_xy(np.array([[f["lon"], f["lat"]]]),
-                              lon0, lat0)[0]
             total = polyline_length(pl)
             pct = 0.0 if total <= 0 else project_onto(pl, pt) / total
             pct = round(pct, 4)
@@ -455,6 +458,16 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                 "pct_along": pct,
                 "snapped_end": ("start" if pct < 0.3
                                 else "end" if pct > 0.7 else "none")})
+            # s_stop_lines renders over the SHIFTED line
+            pls = np.asarray(r["xy"], dtype=float).reshape(-1, 2)
+            totals = polyline_length(pls)
+            pcts = 0.0 if totals <= 0 else project_onto(pls, pt) / totals
+            pcts = round(pcts, 4)
+            stop_feat_rows.append({
+                "doc_id": doc_id, "road_id": r["road_id"],
+                "node_id": f["node_id"], "feature": f["feature"],
+                "feature_json": stop_line_feature_row(
+                    r["xy"], r["total_width"], pcts, lon0, lat0)})
 
     # T6 pass 1 (trims only, ungated — the distributed gate must be a
     # no-op; divergence here would redden the oracle)
@@ -577,7 +590,7 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
                          "polygon_xy": ring_mv[0] if ring_mv else None,
                          "movements_json": ring_mv[1] if ring_mv else None,
                          "lon0": lon0, "lat0": lat0})
-    return roads, ints_out, cw_rows, mp_rows, stop_rows
+    return roads, ints_out, cw_rows, mp_rows, stop_rows, stop_feat_rows
 
 
 def shortest_dist_rows(doc_id: str, roads: list[dict],
@@ -807,11 +820,13 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
         [], [], [], [], [], []
     lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows = \
         [], [], [], [], []
-    marking_rows, stop_rows = [], []
+    marking_rows, stop_rows, stop_feat_rows = [], [], []
     for doc_id, spans in doc_rows:
-        roads, ints, cws, mps, sls = convert_document(doc_id, spans, cfg)
+        roads, ints, cws, mps, sls, sfs = \
+            convert_document(doc_id, spans, cfg)
         mp_rows.extend(mps)
         stop_rows.extend(sls)
+        stop_feat_rows.extend(sfs)
         dist_rows.extend(shortest_dist_rows(doc_id, roads))
         path_rows.extend(profile_path_rows(doc_id, roads))
         feat_rows.extend(feature_rows(doc_id, roads, ints, cfg.cell_zoom))
@@ -839,4 +854,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             int_rows.append({"doc_id": doc_id, **i})
     return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
             feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows,
-            blk_rows, marking_rows, stop_rows)
+            blk_rows, marking_rows, stop_rows, stop_feat_rows)

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v19"
+GEN_VERSION = "v20"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -624,7 +624,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         return out_dir
     (road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows,
      lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows,
-     marking_rows, stop_rows) = \
+     marking_rows, stop_rows, stop_feat_rows) = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -638,6 +638,21 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                    pa.string()),
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in stop_feat_rows],
+                               pa.string()),
+            "road_id": pa.array([r["road_id"] for r in stop_feat_rows],
+                                pa.int64()),
+            "node_id": pa.array([r["node_id"] for r in stop_feat_rows],
+                                pa.int64()),
+            "feature": pa.array([r["feature"] for r in stop_feat_rows],
+                                pa.string()),
+            "feature_json": pa.array(
+                [r["feature_json"] for r in stop_feat_rows], pa.string()),
+        }),
+        os.path.join(out_dir, "gt_stop_line_features.parquet"),
     )
     pq.write_table(
         pa.table({
