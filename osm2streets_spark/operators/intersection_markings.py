@@ -27,15 +27,13 @@ ZEBRA_BAR_WIDTH = 0.5
 ZEBRA_GAP = 0.5
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def _crossing_markings(polygon_xy: pd.Series, crossing_kind: pd.Series,
-                       lon0: pd.Series, lat0: pd.Series) -> pd.Series:
-    out = []
-    for raw, kind, lo, la in zip(polygon_xy, crossing_kind, lon0, lat0):
+def crossing_markings_row(raw, kind, lo, la) -> list[str]:
+    """S8 per-junction kernel — pure, shared by the Spark UDF and the
+    sequential replay."""
+    if True:
         feats: list[str] = []
         if raw is None or not isinstance(kind, str) or not kind:
-            out.append(feats)
-            continue
+            return feats
         ring = np.asarray(raw, dtype=float).reshape(-1, 2)
         c = ring_centroid(ring)
         # principal axis of the junction polygon via covariance
@@ -75,8 +73,17 @@ def _crossing_markings(polygon_xy: pd.Series, crossing_kind: pd.Series,
                         for x, y in ll]},
                     "properties": {"type": "crossing edge"},
                 }, separators=(",", ":")))
-        out.append(feats)
-    return pd.Series(out)
+        return feats
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _crossing_markings(polygon_xy: pd.Series, crossing_kind: pd.Series,
+                       lon0: pd.Series, lat0: pd.Series) -> pd.Series:
+    return pd.Series([
+        crossing_markings_row(raw, kind, lo, la)
+        for raw, kind, lo, la in zip(polygon_xy, crossing_kind,
+                                     lon0, lat0)
+    ])
 
 
 def render_intersection_markings(ints: DataFrame) -> DataFrame:

@@ -969,6 +969,16 @@ def oracle_sql() -> dict[str, str]:
              tile_z, tile_x, tile_y, quadkey
       from read_parquet('{fix}/gt_features.parquet')
     """
+    o["s_intersection_markings"] = f"""
+      select doc_id, i_id, cast(marking_idx as int) as marking_idx,
+             feature_json
+      from read_parquet('{fix}/gt_int_markings.parquet')
+    """
+    o["s_sidewalk_corners"] = f"""
+      select doc_id, i_id, cast(marking_idx as int) as marking_idx,
+             feature_json
+      from read_parquet('{fix}/gt_sidewalk_corners.parquet')
+    """
     o["s_stop_lines"] = f"""
       select doc_id, road_id, node_id, feature, feature_json
       from read_parquet('{fix}/gt_stop_line_features.parquet')

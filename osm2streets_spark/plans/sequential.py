@@ -557,6 +557,8 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
     absorbed_of: dict[int, list[int]] = {}
     for absorbed, surv in imerges.items():
         absorbed_of.setdefault(surv, []).append(absorbed)
+    cross_kind_of = {f["node_id"]: f["crossing_kind"]
+                     for f in feat_recs if f["feature"] == "crossing"}
     way_signal_final = {imerges.get(i, i) for i in way_signal_is}
     live = sorted({i for r in roads for i in (r["src_i"], r["dst_i"])})
     ints_out = []
@@ -583,10 +585,20 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
         if kind is None:
             kind = hint
         ring_mv = rings.get(i)
+        # crossing kind-max rollup over the node roster
+        # (finalize_intersections / merge_crossings kind order)
+        ck_rank = 0
+        for nid in roster:
+            ck = cross_kind_of.get(nid)
+            r_ = {"Signalized": 3, "Marked": 2, "Unmarked": 1}.get(ck, 0)
+            ck_rank = max(ck_rank, r_)
+        crossing_kind = {3: "Signalized", 2: "Marked",
+                         1: "Unmarked"}.get(ck_rank)
         ints_out.append({"qx": q[0], "qy": q[1], "kind": kind,
                          "control": control, "n_movements": n_mov,
                          "i_id": i,
                          "osm_node_ids": sorted(set(roster)),
+                         "crossing_kind": crossing_kind,
                          "polygon_xy": ring_mv[0] if ring_mv else None,
                          "movements_json": ring_mv[1] if ring_mv else None,
                          "lon0": lon0, "lat0": lat0})
@@ -757,6 +769,59 @@ def layer_rows(doc_id: str, roads: list[dict]):
     return lane_rows, surf_rows, mark_rows
 
 
+def junction_marking_rows(doc_id: str, roads: list[dict],
+                          ints: list[dict]):
+    """Sequential twins of render_intersection_markings (crossing
+    zebra/edge bars) and render_sidewalk_corners — same pure kernels."""
+    from ..geom.intersection_kernel import sidewalk_corners
+    from ..geom.core import xy_to_lonlat
+    from ..operators.intersection_markings import crossing_markings_row
+
+    mark_rows, corner_rows = [], []
+    ends_of: dict[int, list] = {}
+    for r in roads:
+        for i, is_src in ((r["src_i"], True), (r["dst_i"], False)):
+            ends_of.setdefault(i, []).append((r, is_src))
+    for it in ints:
+        if it.get("polygon_xy") is None:
+            continue
+        if it.get("crossing_kind"):
+            for idx, fj in enumerate(crossing_markings_row(
+                    it["polygon_xy"], it["crossing_kind"],
+                    it["lon0"], it["lat0"])):
+                mark_rows.append({"doc_id": doc_id, "i_id": it["i_id"],
+                                  "marking_idx": idx, "feature_json": fj})
+        ring = np.asarray(it["polygon_xy"], dtype=float).reshape(-1, 2)
+        ends_k = []
+        for r, is_src in sorted(ends_of.get(it["i_id"], ()),
+                                key=lambda t: t[0]["road_id"]):
+            xy = np.asarray(r["center_xy"], dtype=float).reshape(-1, 2)
+            if len(xy) < 2:
+                continue
+            if not is_src:
+                xy = xy[::-1]
+            ends_k.append({
+                "key": (int(r["road_id"]), bool(is_src)),
+                "road_id": int(r["road_id"]), "is_src_end": bool(is_src),
+                "xy": xy, "width": float(r["total_width"]),
+                "specs": json.loads(r["lane_specs_json"]),
+            })
+        if len(ends_k) < 2:
+            continue
+        for idx, ring_out in enumerate(sidewalk_corners(ends_k, ring)):
+            ll = xy_to_lonlat(ring_out, it["lon0"], it["lat0"])
+            fj = json.dumps({
+                "type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [[
+                    [round(float(x), 7), round(float(y), 7)]
+                    for x, y in ll]]},
+                "properties": {"type": "sidewalk corner"},
+            }, separators=(",", ":"))
+            corner_rows.append({"doc_id": doc_id, "i_id": it["i_id"],
+                                "marking_idx": idx, "feature_json": fj})
+    return mark_rows, corner_rows
+
+
 PROFILES = {"drive": set("dB"), "foot": set("sfF"), "bike": set("bF")}
 
 
@@ -821,6 +886,7 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
     lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows = \
         [], [], [], [], []
     marking_rows, stop_rows, stop_feat_rows = [], [], []
+    imark_rows, corner_rows = [], []
     for doc_id, spans in doc_rows:
         roads, ints, cws, mps, sls, sfs = \
             convert_document(doc_id, spans, cfg)
@@ -836,6 +902,9 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
         marking_rows.extend(mk)
         dc_rows.extend(dc_side_rows(doc_id, roads))
         blk_rows.extend(block_rows(doc_id, roads))
+        jm, jc = junction_marking_rows(doc_id, roads, ints)
+        imark_rows.extend(jm)
+        corner_rows.extend(jc)
         for c in cws:
             cw_rows.append({"doc_id": doc_id, **c})
         for r in roads:
@@ -854,4 +923,5 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
             int_rows.append({"doc_id": doc_id, **i})
     return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
             feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows,
-            blk_rows, marking_rows, stop_rows, stop_feat_rows)
+            blk_rows, marking_rows, stop_rows, stop_feat_rows,
+            imark_rows, corner_rows)

@@ -37,7 +37,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v20"
+GEN_VERSION = "v21"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -624,7 +624,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         return out_dir
     (road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows,
      lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows,
-     marking_rows, stop_rows, stop_feat_rows) = \
+     marking_rows, stop_rows, stop_feat_rows, imark_rows,
+     corner_rows) = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
     pq.write_table(
         pa.table({
@@ -639,6 +640,20 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         }),
         os.path.join(out_dir, "gt_transformed.parquet"),
     )
+    for rows, fname in ((imark_rows, "gt_int_markings.parquet"),
+                        (corner_rows, "gt_sidewalk_corners.parquet")):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in rows],
+                                   pa.string()),
+                "i_id": pa.array([r["i_id"] for r in rows], pa.int64()),
+                "marking_idx": pa.array([r["marking_idx"] for r in rows],
+                                        pa.int32()),
+                "feature_json": pa.array([r["feature_json"] for r in rows],
+                                         pa.string()),
+            }),
+            os.path.join(out_dir, fname),
+        )
     pq.write_table(
         pa.table({
             "doc_id": pa.array([r["doc_id"] for r in stop_feat_rows],
