@@ -723,10 +723,14 @@ def run_transforms(roads: DataFrame,
         lon = F.col("lon0") + F.element_at("xy", midi) \
             / (M_PER_DEG * F.cos(F.radians(F.col("lat0"))))
         tx, ty = tile_xy(lon, lat, split_zoom)
+        # +1 keeps split cells strictly positive: cell 0 is reserved as
+        # the unsplit sentinel, so tile (0,0) at clamped extremes can
+        # never be mistaken for "unsplit" by the doc_split inference
         src = src.withColumn(
             "_tcell",
             F.when(F.col("_nd") > split_threshold,
-                   (tx.cast("long") * F.lit(1 << 22) + ty.cast("long")))
+                   (tx.cast("long") * F.lit(1 << 22) + ty.cast("long")
+                    + F.lit(1)))
              .otherwise(F.lit(0))).drop("_nd")
         # frozen seams: intersections whose incident roads span cells
         endcells = src.select("doc_id", F.explode(F.array(

@@ -4,11 +4,25 @@ query with (where SQL-expressible) a DuckDB oracle twin.
 Street-network queries run over the synthesized interleaved-documents
 fixtures (sources/fixtures.py — the BASELINE.json input_hint shape; the
 driver's own `documents` table is a plain text-docs table used by the
-dedup/text/similarity queries). Their oracles read the generator's
-ground-truth parquet (gt_nodes/gt_ways/gt_relations) — written by the
-same deterministic generator but *independent of the Spark pipeline*:
-the oracle re-derives intersections/segments/tiles in pure SQL, so the
-whole parse→split→count path is cross-checked engine-vs-engine.
+dedup/text/similarity queries).
+
+Two oracle classes exist, and the distinction matters for auditing:
+
+1. **Independent SQL re-derivations** (~20 queries): the oracle reads
+   only gt_nodes/gt_ways/gt_relations — raw topology written by the
+   deterministic generator, independent of any pipeline code — and
+   re-derives intersections/segments/tiles/restrictions in pure DuckDB
+   SQL (see _graph_cte below). These cross-check SEMANTICS
+   engine-vs-engine.
+2. **Sequential-replay oracles** (~18 geometry/transform queries +
+   kernel-derived columns like gt_ways.lane_chars): the gt parquet is
+   produced at fixture-generation time by plans/sequential.py — a
+   zero-Spark single-node replay over the SAME pure-Python kernels the
+   distributed path uses. These prove the distributed PLUMBING (joins,
+   windows, Arrow batching, id hashing, ordering) is exact; kernel
+   semantics for this class rest on the ported reference unit tables
+   (tests/test_lanes.py etc.) and the reference-golden parity harness
+   (tests/test_reference_parity.py).
 
 Column names are aliased identically on both sides (driver hashes
 values under sorted column names).
@@ -1034,9 +1048,9 @@ def oracle_sql() -> dict[str, str]:
              cast(n_movements as bigint) as n_movements
       from read_parquet('{fix}/gt_movements.parquet')
     """
-    # sn_geojson_features / dd_simhash / sim_ann_lsh / mm_media_decode:
-    # geometry-UDF or approximate stages — rows-only checks (documented
-    # divergence).
+    # sim_ann_lsh is the only remaining rows-only query: its candidate
+    # set is LSH-approximate by design (measured-recall tests cover it;
+    # see similarity.py). Every other query above has an exact oracle.
     return o
 
 

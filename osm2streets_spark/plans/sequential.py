@@ -494,7 +494,8 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
             my = flat[(n_pts // 2) * 2 + 1]
             lat = lat0 + my / M_PER_DEG
             lon = lon0 + mx / (M_PER_DEG * math.cos(math.radians(lat0)))
-            r["_tcell"] = _tile_cell(lon, lat, cfg.transform_split_zoom)
+            # +1: cell 0 is the unsplit sentinel (mirrors run_transforms)
+            r["_tcell"] = _tile_cell(lon, lat, cfg.transform_split_zoom) + 1
         cells_of_i: dict[int, set] = {}
         for r in roads:
             cells_of_i.setdefault(r["src_i"], set()).add(r["_tcell"])

@@ -111,12 +111,33 @@ def iter_primitive_blocks(data: bytes):
         blob = data[pos:pos + dsize]
         pos += dsize
         payload = None
+        other_codec = None
         for fno, val in _fields(blob):
             if fno == 1:
                 payload = val
             elif fno == 3:
                 payload = zlib.decompress(val)
-        if btype == "OSMData" and payload is not None:
+            elif fno in (4, 5, 6, 7):
+                # lzma / legacy-bzip2 / lz4 / zstd — legal per the PBF
+                # spec but not decoded here; fail loudly rather than
+                # silently parsing the extract as empty
+                other_codec = {4: "lzma", 5: "bzip2", 6: "lz4",
+                               7: "zstd"}[fno]
+        if payload is None:
+            if other_codec:
+                raise ValueError(
+                    f"PBF Blob uses unsupported compression "
+                    f"'{other_codec}' (only raw and zlib are decoded)")
+            raise ValueError("PBF Blob has no recognized payload field")
+        if btype == "OSMHeader":
+            for fno, val in _fields(payload):
+                if fno == 4:  # required_features (repeated string)
+                    feat = val.decode("utf-8")
+                    if feat not in ("OsmSchema-V0.6", "DenseNodes"):
+                        raise ValueError(
+                            f"PBF header requires unsupported feature "
+                            f"'{feat}'")
+        elif btype == "OSMData":
             yield payload
 
 

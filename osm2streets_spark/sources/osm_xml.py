@@ -63,7 +63,10 @@ def _parse_one_doc(doc_id: str, spans, rows: list) -> None:
 
         from .osm_pbf import parse_pbf
 
-        data = b"".join(base64.b64decode(s["text"]) for s in pbf_frags)
+        # concatenate the base64 texts BEFORE decoding: per-span decode
+        # is only valid when each span's length is a multiple of 4, an
+        # accident of the fixture CHUNK size we must not depend on
+        data = base64.b64decode("".join(s["text"] for s in pbf_frags))
         nodes, pways, prels = parse_pbf(data)
         for wid, refs, tags_json in pways:
             refs = [r for r in refs if r in nodes]  # reader.rs:93-99
