@@ -132,7 +132,15 @@ _PLANES = _rng.randn(8, DIM)
 @F.pandas_udf(IntegerType())
 def _lsh_bucket(embedding: pd.Series) -> pd.Series:
     mats = np.stack([np.asarray(e, dtype=np.float64) for e in embedding])
-    signs = (mats @ _PLANES.T) > 0
+    # sequential fold over the dimension axis — NOT a matmul — so each
+    # plane dot is computed as ((((0+t1)+t2)+...)+t64) in float64,
+    # bitwise-identical to DuckDB's list_reduce fold in the oracle
+    # (ann_lsh_oracle_sql). BLAS pairwise summation could flip a sign
+    # on a near-zero dot and silently change a bucket.
+    acc = np.zeros((mats.shape[0], _PLANES.shape[0]))
+    for j in range(mats.shape[1]):
+        acc += mats[:, j:j + 1] * _PLANES[:, j]
+    signs = acc > 0
     buckets = (signs * (1 << np.arange(8))).sum(axis=1)
     return pd.Series(buckets.astype(np.int32))
 
@@ -141,6 +149,59 @@ def ann_lsh_buckets(emb: DataFrame) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector — the scale path:
     candidates = equi-join on bucket, then exact re-rank within bucket."""
     return emb.select("vec_id", _lsh_bucket("embedding").alias("bucket"))
+
+
+def ann_lsh_oracle_sql(emb_table: str, k: int = 5, n_queries: int = 32) -> str:
+    """Exact DuckDB twin of ann_topk_lsh: the seed-7 hyperplane matrix
+    is embedded as float64 literals (repr = round-trip exact), bucket =
+    Σ 2^i·[dot_i > 0] with the dot folded sequentially — bitwise equal
+    to _lsh_bucket's fold — then the same 9-probe candidate expansion
+    (own bucket + 8 Hamming-1 flips) and exact cosine re-rank as the
+    Spark path. Makes the LSH variant fully checkable, not rows-only."""
+    def plane_dot(i: int) -> str:
+        lits = ", ".join(repr(x) for x in _PLANES[i])
+        return (f"list_reduce([0.0] || [cast(embedding[j] as double) * "
+                f"([{lits}])[j] for j in generate_series(1, {DIM})], "
+                f"(x, y) -> x + y)")
+
+    bucket = " + ".join(
+        f"(case when {plane_dot(i)} > 0 then {1 << i} else 0 end)"
+        for i in range(8))
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(8)])
+    dot = ("list_reduce([0.0] || [cast(q.q_emb[i] as double) * "
+           "cast(v.embedding[i] as double) for i in generate_series(1, "
+           f"{DIM})], (x, y) -> x + y)")
+    nrm_q = ("sqrt(list_reduce([0.0] || [cast(q.q_emb[i] as double) * "
+             "cast(q.q_emb[i] as double) for i in generate_series(1, "
+             f"{DIM})], (x, y) -> x + y))")
+    nrm_v = ("sqrt(list_reduce([0.0] || [cast(v.embedding[i] as double) * "
+             "cast(v.embedding[i] as double) for i in generate_series(1, "
+             f"{DIM})], (x, y) -> x + y))")
+    return f"""
+      with bucketed as (
+        select vec_id, embedding, {bucket} as bucket
+        from {emb_table}
+      ),
+      probes as (
+        select vec_id as query_id, embedding as q_emb,
+               unnest([{probes}]) as bucket
+        from bucketed where vec_id < {n_queries}
+      ),
+      scored as (
+        select q.query_id, v.vec_id as neighbor_id,
+               round({dot} / ({nrm_q} * {nrm_v}), 6) as cosine
+        from probes q join bucketed v using (bucket)
+        where q.query_id != v.vec_id
+      ),
+      ranked as (
+        select *, row_number() over (partition by query_id
+                   order by cosine desc, neighbor_id asc) as rank
+        from scored
+      )
+      select query_id, rank, neighbor_id, cosine from ranked
+      where rank <= {k}
+    """
 
 
 def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 32) -> DataFrame:

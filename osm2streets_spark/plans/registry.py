@@ -911,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
     o["ta_vocab_salted"] = text_analysis.vocab_counts_oracle_sql("documents")
     o["sim_cosine_pairs"] = similarity.cosine_pairs_oracle_sql("embeddings")
     o["sim_ann_topk"] = similarity.ann_topk_oracle_sql("embeddings")
+    o["sim_ann_lsh"] = similarity.ann_lsh_oracle_sql("embeddings")
     o["ev_window"] = """
       select date_trunc('hour', ts) as hour, event_type,
              count(*) as n_events, round(sum(value), 4) as total_value
@@ -1048,9 +1049,9 @@ def oracle_sql() -> dict[str, str]:
              cast(n_movements as bigint) as n_movements
       from read_parquet('{fix}/gt_movements.parquet')
     """
-    # sim_ann_lsh is the only remaining rows-only query: its candidate
-    # set is LSH-approximate by design (measured-recall tests cover it;
-    # see similarity.py). Every other query above has an exact oracle.
+    # Every registered query now has an exact oracle — including
+    # sim_ann_lsh, whose deterministic seed-7 hyperplanes are embedded
+    # as literals in the DuckDB twin (similarity.ann_lsh_oracle_sql).
     return o
 
 
