@@ -35,11 +35,7 @@ def extract_blocks(roads: DataFrame) -> DataFrame:
     spark = src.sparkSession
     n = spark.sparkContext.defaultParallelism * 2
 
-    def batched(batches):
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    def _process(pdf):
         rows = []
         for doc_id, g in pdf.groupby("doc_id", sort=False):
             # deterministic face enumeration regardless of Arrow row
@@ -51,9 +47,15 @@ def extract_blocks(roads: DataFrame) -> DataFrame:
                 rows.append((doc_id, int(b["block_id"]), b["kind"],
                              b["n_roads"], b["n_names"], b["area_m2"],
                              json.dumps(b["ring"], separators=(",", ":"))))
-        yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+        return pd.DataFrame(rows,
+                            columns=[f.name for f in BLOCK_SCHEMA.fields])
 
-    return src.repartition(n, "doc_id").mapInPandas(batched, BLOCK_SCHEMA)
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id"], _process)
+
+    return src.repartition(n, "doc_id").sortWithinPartitions("doc_id") \
+        .mapInPandas(batched, BLOCK_SCHEMA)
 
 
 def assign_features_to_blocks(features: DataFrame, blocks: DataFrame,

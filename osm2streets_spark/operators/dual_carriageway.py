@@ -88,11 +88,7 @@ def trace_dual_carriageway_sides(roads: DataFrame) -> DataFrame:
     src = roads.select("doc_id", "road_id", "src_i", "dst_i", "name",
                        "oneway", "length_m")
 
-    def batched(batches):
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    def _process(pdf):
         rows = []
         for doc_id, g in pdf.groupby("doc_id", sort=False):
             recs = [
@@ -100,11 +96,17 @@ def trace_dual_carriageway_sides(roads: DataFrame) -> DataFrame:
                 for r in g.sort_values("road_id").itertuples(index=False)
             ]
             rows.extend(dc_sides_doc(doc_id, recs))
-        yield pd.DataFrame(rows, columns=[f.name for f in SIDE_SCHEMA.fields])
+        return pd.DataFrame(rows,
+                            columns=[f.name for f in SIDE_SCHEMA.fields])
+
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id"], _process)
 
     spark = src.sparkSession
     n = spark.sparkContext.defaultParallelism
-    return src.repartition(n, "doc_id").mapInPandas(batched, SIDE_SCHEMA)
+    return src.repartition(n, "doc_id").sortWithinPartitions("doc_id") \
+        .mapInPandas(batched, SIDE_SCHEMA)
 
 
 def detect_dual_carriageway_endpoints(roads: DataFrame) -> DataFrame:

@@ -88,11 +88,7 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame,
         ["doc_id", "node_id"])
     joined = members.join(way_geoms, ["doc_id", "way_id"])
 
-    def batched(batches):
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    def _process(pdf):
         rows = []
         for (doc_id, rel_id), g in pdf.groupby(["doc_id", "rel_id"],
                                                sort=False):
@@ -128,9 +124,14 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame,
             rows.append((doc_id, int(rel_id), len(rings["outer"]),
                          len(rings["inner"]), round(area, 12),
                          json.dumps(feat, separators=(",", ":"))))
-        yield pd.DataFrame(rows, columns=[f.name for f in MP_SCHEMA.fields])
+        return pd.DataFrame(rows, columns=[f.name for f in MP_SCHEMA.fields])
+
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id", "rel_id"], _process)
 
     spark = joined.sparkSession
     n = spark.sparkContext.defaultParallelism
-    return joined.repartition(n, "doc_id", "rel_id").mapInPandas(
+    return joined.repartition(n, "doc_id", "rel_id") \
+        .sortWithinPartitions("doc_id", "rel_id").mapInPandas(
         batched, MP_SCHEMA)

@@ -48,13 +48,9 @@ def shortest_dists_from_hubs(roads: DataFrame, max_hubs: int = 2) -> DataFrame:
     spark = roads.sparkSession
     n = spark.sparkContext.defaultParallelism * 2
 
-    def batched(batches):
+    def _process(pdf):
         import networkx as nx
 
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         rows = []
         for doc_id, g_pdf in pdf.groupby("doc_id", sort=False):
             g = _doc_graph(g_pdf)
@@ -67,9 +63,16 @@ def shortest_dists_from_hubs(roads: DataFrame, max_hubs: int = 2) -> DataFrame:
                 for node, d in dist.items():
                     rows.append((doc_id, hub, int(node),
                                  round(float(d), 3)))
-        yield pd.DataFrame(rows, columns=[f.name for f in DIST_SCHEMA.fields])
+        return pd.DataFrame(rows, columns=[f.name for f in DIST_SCHEMA.fields])
 
-    return src.repartition(n, "doc_id").mapInPandas(batched, DIST_SCHEMA)
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id"], _process)
+
+    # sorted doc groups + streaming bounds per-task memory to one Arrow
+    # batch + one doc instead of the whole shuffled partition
+    return src.repartition(n, "doc_id").sortWithinPartitions("doc_id") \
+        .mapInPandas(batched, DIST_SCHEMA)
 
 
 def r_hop_neighborhood(roads: DataFrame, rounds: int = 3) -> DataFrame:
@@ -137,13 +140,9 @@ def simple_paths(roads: DataFrame,
     spark = roads.sparkSession
     n = spark.sparkContext.defaultParallelism * 2
 
-    def batched(batches):
+    def _process(pdf):
         import networkx as nx
 
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         rows = []
         for doc_id, g_pdf in pdf.groupby("doc_id", sort=False):
             for prof, lane_set in sorted(profiles.items()):
@@ -180,7 +179,12 @@ def simple_paths(roads: DataFrame,
                         for a, b in zip(path, path[1:])]
                 rows.append((doc_id, prof, frm, to, round(dist, 3),
                              len(ways), ",".join(ways)))
-        yield pd.DataFrame(
+        return pd.DataFrame(
             rows, columns=[f.name for f in PATH_SCHEMA.fields])
 
-    return src.repartition(n, "doc_id").mapInPandas(batched, PATH_SCHEMA)
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id"], _process)
+
+    return src.repartition(n, "doc_id").sortWithinPartitions("doc_id") \
+        .mapInPandas(batched, PATH_SCHEMA)

@@ -67,3 +67,35 @@ def test_tiny_arrow_batches_identical_pipeline_output(spark, fixture_dir):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert base == tiny
+
+
+@pytest.mark.parametrize("qname", [
+    "g_shortest_dists", "g_simple_paths", "s_multipolygons",
+    "g_blocks", "sn_dc_side_lengths",
+])
+def test_tiny_batches_identical_per_doc_operators(spark, qname):
+    """The per-doc graph operators (pathfinding, multipolygon assembly,
+    block walk, DC sides) stream key-sorted groups instead of
+    materializing the partition; forcing 64-record Arrow batches
+    (maximum group splitting across batch boundaries) must not change
+    a single row."""
+    from osm2streets_spark.plans import registry
+
+    q = registry.queries()[qname]
+    sf = "/root/testdata/sf0.001"
+
+    def snapshot():
+        pdf = q(spark, sf).toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    spark.catalog.clearCache()
+    base = snapshot()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        spark.catalog.clearCache()
+        tiny = snapshot()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    pd.testing.assert_frame_equal(base, tiny)
