@@ -73,6 +73,37 @@ def main() -> None:
         if "BroadcastHashJoin" in plan:
             checks.append("broadcast join chosen")
         out.append("Observed: " + "; ".join(checks) + "\n")
+    # flagship: the one query whose physical plan actually matters.
+    # PLANS.md gets the executed-plan TREE (no per-op detail blocks) for
+    # each returned stage plus shape counts; tests/test_plan_shape.py
+    # pins the same counts as regression ceilings.
+    from osm2streets_spark.plans.pipeline import (
+        load_documents, build_street_network,
+    )
+    spark.catalog.clearCache()
+    net = build_street_network(
+        spark, load_documents(spark, ensure_fixtures("sf0.001")))
+    out.append("## q_street_pipeline (flagship)\n\n"
+               "_Audit: single cached parse; J1/W1 as window+agg; T6 as "
+               "one exchange + sorted streaming mapInPandas; trims "
+               "pivoted before join-back; lazy localCheckpoints at "
+               "silver boundaries. No CartesianProduct / "
+               "BroadcastNestedLoopJoin anywhere; exchange and "
+               "checkpoint-boundary counts pinned by "
+               "tests/test_plan_shape.py._\n")
+    summary = ["| stage | Exchange nodes | checkpoint scans | cartesian/BNLJ |",
+               "|---|---|---|---|"]
+    plans = {}
+    for name in ["features", "roads", "trims", "intersections"]:
+        p = net[name]._jdf.queryExecution().executedPlan().toString()
+        plans[name] = p
+        bad = ("CartesianProduct" in p) or ("BroadcastNestedLoopJoin" in p)
+        summary.append(f"| {name} | {p.count('Exchange')} | "
+                       f"{p.count('Scan ExistingRDD')} | "
+                       f"{'PRESENT' if bad else 'none'} |")
+    out.append("\n".join(summary) + "\n")
+    out.append("### features — executed plan tree\n\n```\n"
+               + plans["features"] + "```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))

@@ -1,0 +1,49 @@
+"""Physical-plan shape regression guard for the flagship pipeline.
+
+Round 2 silently shipped a two-pass T6 that doubled a subtree's
+exchanges; nothing caught it until the driver measured the wall time.
+This test pins the plan shape so a refactor that adds an exchange, a
+cartesian product, or an extra checkpoint boundary fails CI before it
+costs a round. The ceilings are the counts measured on the current
+plan — raise them only deliberately, with a rationale."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm2streets_spark.plans.pipeline import (
+    load_documents, build_street_network,
+)
+
+# (stage, max Exchange nodes, max checkpoint-boundary scans) in the
+# executed (pre-AQE-initial) physical plan at sf0.001. Measured 2026-08
+# on Spark 4.1: features 254/25, roads 20/5, trims 18/4,
+# intersections 233/20.
+_CEILINGS = {
+    "features": (254, 25),
+    "roads": (20, 5),
+    "trims": (18, 4),
+    "intersections": (233, 20),
+}
+
+
+@pytest.fixture(scope="module")
+def net(spark, fixture_dir):
+    spark.catalog.clearCache()
+    return build_street_network(spark, load_documents(spark, fixture_dir))
+
+
+@pytest.mark.parametrize("stage", list(_CEILINGS))
+def test_flagship_plan_shape(net, stage):
+    plan = net[stage]._jdf.queryExecution().executedPlan().toString()
+    max_exchanges, max_rdd_scans = _CEILINGS[stage]
+    assert "CartesianProduct" not in plan, f"{stage}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{stage}: BNLJ"
+    n_ex = plan.count("Exchange")
+    n_rdd = plan.count("Scan ExistingRDD")
+    assert n_ex <= max_exchanges, (
+        f"{stage}: {n_ex} Exchange nodes > ceiling {max_exchanges} — a "
+        f"refactor added shuffles; audit with explain before raising")
+    assert n_rdd <= max_rdd_scans, (
+        f"{stage}: {n_rdd} checkpoint-boundary scans > ceiling "
+        f"{max_rdd_scans} — extra localCheckpoint/persist boundary added")
