@@ -238,7 +238,12 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         # Sidewalk) — this also keeps T2 from splicing a sidewalk way
         # with a crossing way (their lane specs must differ)
         lt = SIDEWALK if tags.get("footway") == "sidewalk" else FOOTWAY
-        specs = [LaneSpec(lt, FWD, default_width(FOOTWAY, "", hw))]
+        # width follows the LANE TYPE: a separately-mapped sidewalk is
+        # 1.5 m (SIDEWALK_THICKNESS), a plain footway 2.0 m — verified
+        # against the neukolln golden (sidewalk-crossing corner sits
+        # 0.75 m off center) and the tempe golden (footway=crossing
+        # pieces render 2.0 m wide)
+        specs = [LaneSpec(lt, FWD, default_width(lt, "", hw))]
     elif hw == "path":
         specs = [LaneSpec(SHARED_USE, FWD, default_width(SHARED_USE, "", hw))]
     elif hw == "cycleway":
@@ -396,8 +401,27 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     elif oneway:
         left_default = right_default = FWD
 
-    bike_left_kind, bike_left = _bike_pair(tags, "left", oneway, left_default)
-    bike_right_kind, bike_right = _bike_pair(tags, "right", oneway, right_default)
+    # A PLAIN `cycleway=lane/track` (no :left/:right) on a ONEWAY street
+    # puts a lane only on the travel side, not both: muv expands the
+    # bare tag to both sides only for two-way roads (verified against
+    # the tempe_light_rail golden, where primary oneway cycleway=lane
+    # renders 10.5 m = one bike lane, not 12 m = two). Contraflow
+    # tagging (oneway:bicycle=no) keeps both sides.
+    contraflow_side = None
+    if street_oneway and tags.get("oneway:bicycle") != "no" \
+            and not tags.get("cycleway:left") \
+            and not tags.get("cycleway:right") \
+            and tags.get("cycleway") in ("lane", "track"):
+        two_way_left = BACK if driving_side == "right" else FWD
+        travel = BACK if reverse_oneway else FWD
+        contraflow_side = "left" if two_way_left != travel else "right"
+
+    bike_left_kind, bike_left = (
+        (None, []) if contraflow_side == "left"
+        else _bike_pair(tags, "left", oneway, left_default))
+    bike_right_kind, bike_right = (
+        (None, []) if contraflow_side == "right"
+        else _bike_pair(tags, "right", oneway, right_default))
     w_bike = default_width(BIKING, "", hw)
 
     def parking(side: str) -> list[LaneSpec]:

@@ -190,10 +190,13 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                            ["doc_id", "road_id"], "left")
         # lane-relevant raw-tag fingerprint for the T2 equality check —
         # the reference compares LaneSpecs that EMBED the muv Lane
-        # (osm2lanes lib.rs:289), so surface/smoothness/oneway/service/
-        # width differences block splicing even when our lane model
-        # can't see them
-        lane_keys = ("surface", "smoothness", "oneway", "service",
+        # (osm2lanes lib.rs:289), so surface/smoothness/oneway/width
+        # differences block splicing even when our lane model can't see
+        # them. The `service` VALUE is deliberately NOT in the
+        # fingerprint: muv's Lane does not embed it, and the
+        # seattle_slip_lane golden splices service=parking_aisle with
+        # service=driveway chains at their shared junctions.
+        lane_keys = ("surface", "smoothness", "oneway",
                      "width", "est_width", "maxspeed", "lanes",
                      "tracktype")
         from functools import reduce

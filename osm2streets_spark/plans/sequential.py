@@ -51,7 +51,7 @@ from ..sources.osm_xml import _parse_one_doc
 from ..xxh import xxhash64
 
 M_PER_DEG = 111_319.490793
-LANE_KEYS = ("surface", "smoothness", "oneway", "service", "width",
+LANE_KEYS = ("surface", "smoothness", "oneway", "width",
              "est_width", "maxspeed", "lanes", "tracktype")
 _METRIC_MAXHEIGHT = re.compile(r"^\d+(\.\d+)?\s*m?$")
 
@@ -253,7 +253,8 @@ def _resolve_restrictions(restrictions: list, node_q: dict,
             for i, t, f, o in sorted(out)]
 
 
-def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
+def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG,
+                     debug_sink: dict | None = None):
     """→ (roads, intersections): the sequential twin of
     build_street_network for one document. Road dicts carry way_id /
     osm_way_ids / trimmed_length / lane_chars; intersection dicts carry
@@ -280,7 +281,18 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
         tags = json.loads(tj)
         if not _keep_way(tags, len(refs), cfg.inferred_sidewalks):
             continue
-        w = {"way_id": wid, "refs": refs, "tags": tags}
+        # refs to nodes missing from the extract drop (the distributed
+        # path drops them in the way_points⨝nodes inner join); the
+        # ENDPOINT flag stays tied to the ORIGINAL positions — if a
+        # way's first ref is missing, the surviving first point is NOT
+        # an endpoint, exactly as in split_ways.way_points
+        kept = [(pos, nid) for pos, nid in enumerate(refs)
+                if nid in nodes]
+        if len(kept) < 2:
+            continue
+        w = {"way_id": wid, "refs": [nid for _, nid in kept],
+             "orig_pos": [pos for pos, _ in kept],
+             "orig_n": len(refs), "tags": tags}
         w.update(_parse_road_tags(tags))
         w.update(_lane_cols(tags, cfg.driving_side, cfg.inferred_sidewalks))
         ways[wid] = w
@@ -289,11 +301,10 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
     use_count: dict[tuple, int] = {}
     endpoint: set[tuple] = set()
     for w in ways.values():
-        refs = w["refs"]
-        for pos, nid in enumerate(refs):
+        for pos, nid in zip(w["orig_pos"], w["refs"]):
             q = (_qz(nodes[nid][0]), _qz(nodes[nid][1]))
             use_count[q] = use_count.get(q, 0) + 1
-            if pos == 0 or pos == len(refs) - 1:
+            if pos == 0 or pos == w["orig_n"] - 1:
                 endpoint.add(q)
     int_pts = {q for q, n in use_count.items()
                if n >= 2 or q in endpoint}
@@ -482,6 +493,15 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG):
         r["trim_end"] = tmap.get((r["road_id"], False), 0.0)
         r["too_short"] = (r["trim_start"] + r["trim_end"]
                           >= r["geom_length"])
+    if debug_sink is not None:
+        # forensics hook: pass-1 annihilation inputs per road
+        debug_sink["pass1"] = [
+            {k: r[k] for k in ("road_id", "way_id", "seg_idx",
+                               "geom_length", "trim_start", "trim_end",
+                               "too_short", "src_i", "dst_i", "xy",
+                               "total_width", "highway_type")}
+            for r in roads]
+        debug_sink["ends1"] = ends1
 
     # transforms (T4+T1+T2+T1) with the dense-doc cell split mirrored
     imerges: dict[int, int] = {}
