@@ -218,9 +218,17 @@ def simplify_rdp(pl: np.ndarray, epsilon: float) -> np.ndarray:
 # consecutive offset lines; miter clamped to avoid spikes.
 # ---------------------------------------------------------------------------
 
-def shift_polyline(pl: np.ndarray, offset: float, miter_limit: float = 4.0) -> np.ndarray:
+def shift_polyline(pl: np.ndarray, offset: float,
+                   miter_threshold_m: float = 500.0) -> np.ndarray:
     """Offset polyline. Positive offset shifts to the RIGHT of travel
     direction (matching geom shift_right semantics; shift_left = negative).
+
+    Corner handling mirrors the reference geom crate: miter ALWAYS
+    except when the miter point lands further than MITER_THRESHOLD
+    (500 m — an absolute distance, not a ratio) from the original
+    vertex, in which case both offset endpoints are kept (bevel).
+    An aggressive ratio-based miter limit here produced corner
+    collisions ~1 m off the reference's at shallow-angle junctions.
     """
     if len(pl) == 2:
         # fast path: single segment (the common case after RDP)
@@ -245,10 +253,9 @@ def shift_polyline(pl: np.ndarray, offset: float, miter_limit: float = 4.0) -> n
     a_off = pl[:-1] + normals
     b_off = pl[1:] + normals
     out = [a_off[0]]
-    max_dev = abs(offset) * miter_limit
     for i in range(len(seg) - 1):
         p = _line_line_intersection(a_off[i], b_off[i], a_off[i + 1], b_off[i + 1])
-        if p is None or math.hypot(p[0] - pl[i + 1][0], p[1] - pl[i + 1][1]) > max_dev + abs(offset):
+        if p is None or math.hypot(p[0] - pl[i + 1][0], p[1] - pl[i + 1][1]) > miter_threshold_m:
             # near-parallel or spiky miter: bevel via both endpoints
             out.append(b_off[i])
             out.append(a_off[i + 1])

@@ -16,8 +16,17 @@ from __future__ import annotations
 from .inference import LaneSpec, DRIVING, BIKING, BUS, SHARED_LEFT_TURN, \
     LIGHT_RAIL, CONSTRUCTION, SHOULDER, PARKING, BUFFER, FWD, BACK
 
+# is_roadway (osm2lanes lib.rs:131-148): buffers count as roadway
+# EXCEPT curb and verge; sidewalk/footway/shared-use do not
 ROADWAY = {DRIVING, BIKING, BUS, SHARED_LEFT_TURN, LIGHT_RAIL,
            CONSTRUCTION, SHOULDER, PARKING}
+_NON_ROADWAY_BUFFERS = {"curb", "verge"}
+
+
+def _is_roadway(s) -> bool:
+    if s.lt == BUFFER:
+        return s.subtype not in _NON_ROADWAY_BUFFERS
+    return s.lt in ROADWAY
 TRAVEL = {DRIVING, BIKING, BUS, LIGHT_RAIL}
 
 
@@ -86,7 +95,7 @@ def left_edge_offset(pos: dict, specs: list[LaneSpec],
         first = last = None
         acc = 0.0
         for s in specs:
-            if s.lt in ROADWAY:
+            if _is_roadway(s):
                 if first is None:
                     first = acc
                 last = acc + s.width

@@ -35,6 +35,9 @@ def media_spans(docs: DataFrame) -> DataFrame:
     ref = F.col("span.media_ref")
     return s.select(
         "doc_id", "span_idx", ref.alias("media_ref"),
+        # bmp:// spans carry the real payload base64 in the span text
+        F.when(ref.startswith("bmp://"), F.col("span.text"))
+         .otherwise(F.lit(None)).alias("payload_b64"),
         F.regexp_extract(ref, r"^(\w+)://", 1).alias("media_scheme"),
         F.regexp_extract(ref, r"^tile://(\d+)/(\d+)/(\d+)", 1)
          .try_cast("int").alias("ref_z"),
@@ -56,14 +59,33 @@ DECODE_SCHEMA = StructType([
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode: a real deployment would decode bytes with
-    PIL/ffmpeg here (inside this mapInPandas, one Arrow batch at a
-    time). This container has no codec libs, so we emit a deterministic
-    fake: dimensions/frame-count/feature derived from the ref hash —
-    keeping schema, batching and downstream columns real."""
+    """Decode inside mapInPandas, one Arrow batch at a time.
+
+    TWO paths:
+    * bmp:// refs carry REAL bytes (base64 in payload_b64): parsed by
+      the pure-Python 24-bit BMP codec (sources/bmp.py) — real header
+      dims, n_frames=1, and a 16-dim pixel-statistics feature.
+    * tile:// and geojson:// refs are opaque handles into external
+      stores; with no codec libs in this container their decode is a
+      DETERMINISTIC FAKE (dims/frame-count/feature from the ref's
+      first-8-byte int64) so the frame-sampling pipeline stays
+      exactly SQL-checkable.
+    """
+    import base64
+
+    from ..sources.bmp import bmp_feature, decode_bmp
+
     for pdf in batches:
         rows = []
-        for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+        payloads = pdf["payload_b64"] if "payload_b64" in pdf.columns \
+            else pd.Series([None] * len(pdf))
+        for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
+                                        payloads):
+            if ref.startswith("bmp://") and payload:
+                w, h, px = decode_bmp(base64.b64decode(payload))
+                rows.append((doc_id, ref, int(w), int(h), 1,
+                             bmp_feature(px)))
+                continue
             h = np.frombuffer(
                 ref.encode("utf-8")[:8].ljust(8, b"\0"), dtype=np.int64
             )[0]
@@ -79,10 +101,14 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Decode/feature-extract media refs (stubbed — see _decode_batch).
-    Repartitioned by doc so decode work spreads evenly regardless of
-    how many media spans a single document carries."""
-    return media.select("doc_id", "media_ref") \
+    """Decode/feature-extract media refs (real BMP path + deterministic
+    fake for opaque refs — see _decode_batch). Repartitioned by doc so
+    decode work spreads evenly regardless of how many media spans a
+    single document carries."""
+    cols = ["doc_id", "media_ref"]
+    if "payload_b64" in media.columns:
+        cols.append("payload_b64")
+    return media.select(*cols) \
         .repartition("doc_id") \
         .mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
 

@@ -95,7 +95,16 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
 
     anchors = doc_bounds(nodes)
     roads = with_projected_geometry(roads, anchors)
-    roads = roads.withColumn("osm_way_ids", F.array("way_id")) \
+    # osm_way_ids reports the ORIGINAL OSM id: a way the boundary clip
+    # sliced into k>1 pieces runs through the engine under synthetic
+    # negative ids -(way*100+piece) for uniqueness, but the reference
+    # keeps the original id on every clipped copy (clip.rs:52-58,
+    # lib.rs:125-127) and its goldens expose it in the features
+    roads = roads.withColumn(
+        "osm_way_ids",
+        F.array(F.when(F.col("way_id") < 0,
+                       ((-F.col("way_id") - 1) / 100).cast("long"))
+                 .otherwise(F.col("way_id")))) \
                  .withColumn("too_short", F.lit(False))
     # roads feeds T6 pass 1 (×2 ends), restrictions resolution and the
     # transforms — persist to stop the split/lane chain recomputing per

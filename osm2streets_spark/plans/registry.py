@@ -563,9 +563,17 @@ def queries() -> Q:
         docs = _docs(spark, sf_dir)
         media = multimodal.media_spans(docs)
         dec = multimodal.decode_media(media)
-        fs = multimodal.frame_sample(dec)
+        # width/height in the projection so the REAL bmp decode (header
+        # dims) is oracle-checked, not just the frame sampling
+        fs = dec.select(
+            "doc_id", "media_ref", "width", "height", "n_frames",
+            F.explode(F.sequence(
+                F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                F.lit(4))).alias("frame_idx"))
         return fs.select(
             "doc_id", "media_ref",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
             F.col("n_frames").cast("long").alias("n_frames"),
             F.col("frame_idx").cast("long").alias("frame_idx"))
 
@@ -954,8 +962,8 @@ def oracle_sql() -> dict[str, str]:
     # from the little-endian int64 of the ref's first 8 bytes, so the
     # whole frame-sampling pipeline has an exact SQL twin.
     h_expr = " + ".join(
-        f"(case when length(media_ref) > {i} then "
-        f"ascii(substring(media_ref, {i + 1}, 1)) else 0 end)"
+        f"(case when length(m.media_ref) > {i} then "
+        f"ascii(substring(m.media_ref, {i + 1}, 1)) else 0 end)"
         f" * {256 ** i}::bigint" for i in range(8))
     o["mm_media_decode"] = f"""
       with sp as (
@@ -967,11 +975,24 @@ def oracle_sql() -> dict[str, str]:
         from sp where span.kind = 'media'
       ),
       dec as (
-        select doc_id, media_ref,
-               cast(1 + ({h_expr}) % 16 as bigint) as n_frames
+        -- bmp:// rows decode REAL bytes: their header dims live in
+        -- gt_media.parquet (written by the fixture generator from the
+        -- same payload it encoded); opaque refs keep the exact
+        -- first-8-byte-int64 fake twin
+        select m.doc_id, m.media_ref,
+               cast(coalesce(g.width,
+                    256 + (({h_expr}) % 4) * 128) as bigint) as width,
+               cast(coalesce(g.height,
+                    256 + ((({h_expr}) // 4) % 4) * 128) as bigint)
+                   as height,
+               cast(coalesce(g.n_frames,
+                    1 + ({h_expr}) % 16) as bigint) as n_frames
         from m
+        left join read_parquet('{fix}/gt_media.parquet') g
+          on m.doc_id = g.doc_id and m.media_ref = g.media_ref
       )
-      select doc_id, media_ref, n_frames,
+      select dec.doc_id as doc_id, dec.media_ref as media_ref,
+             width, height, n_frames,
              cast(unnest(generate_series(0,
                  greatest(n_frames - 1, 0), 4)) as bigint) as frame_idx
       from dec

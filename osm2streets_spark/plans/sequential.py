@@ -348,7 +348,8 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG,
                 "pt_node_ids": seg_refs,
                 "xy": xy.ravel().tolist(),
                 "geom_length": float(polyline_length(xy)),
-                "osm_way_ids": [wid],
+                # original OSM id for clipped pieces (mirrors pipeline)
+                "osm_way_ids": [(-wid - 1) // 100 if wid < 0 else wid],
                 "too_short": False,
                 "lon0": lon0, "lat0": lat0,
                 "src_is_edge": seg_refs[0] < 0,

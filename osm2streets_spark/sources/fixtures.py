@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..lanes import get_lane_specs_ltr, lanes_to_chars, dirs_to_chars
+from ..xxh import xxhash64
 
 M_PER_DEG = 111_319.490793
 
@@ -37,7 +38,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v22"
+GEN_VERSION = "v23"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -528,8 +529,40 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
             "text": json.dumps(boundary_ring, separators=(",", ":")),
             "media_ref": "", "offset": 4,
         })
+    # one REAL media payload per document: a deterministic 24-bit BMP
+    # (thumbnail-sized gradient derived from the doc index) carried
+    # base64 in the span text — the mm_media_decode real-decode path
+    bmp_span, bmp_gt = _bmp_media_span(doc_id, len(spans))
+    spans.append(bmp_span)
     doc_row = {"doc_id": doc_id, "spans": spans}
-    return doc_row, gt_nodes, gt_ways, gt_rels
+    return doc_row, gt_nodes, gt_ways, gt_rels, bmp_gt
+
+
+def _bmp_media_span(doc_id: str, offset: int):
+    """Deterministic small BMP for this doc + its gt row."""
+    import base64
+
+    import numpy as np
+
+    from .bmp import encode_bmp
+
+    h = abs(xxhash64(doc_id, 7))
+    w = 8 + (h % 5) * 4
+    ht = 6 + ((h >> 3) % 4) * 4
+    yy, xx = np.mgrid[0:ht, 0:w]
+    px = np.stack([
+        ((xx * 255) // max(w - 1, 1)).astype(np.uint8),
+        ((yy * 255) // max(ht - 1, 1)).astype(np.uint8),
+        np.full((ht, w), h % 251, dtype=np.uint8),
+    ], axis=-1)
+    data = encode_bmp(px)
+    ref = f"bmp://{doc_id}/0"
+    span = {"kind": "media",
+            "text": base64.b64encode(data).decode("ascii"),
+            "media_ref": ref, "offset": offset}
+    gt = {"doc_id": doc_id, "media_ref": ref, "width": int(w),
+          "height": int(ht), "n_frames": 1}
+    return span, gt
 
 
 SPAN_TYPE = pa.list_(pa.struct([
@@ -543,14 +576,15 @@ MEMBER_TYPE = pa.list_(pa.struct([
 
 
 def generate(n_docs: int, seed: int = 42, heavy: bool = False):
-    docs, nodes, ways, rels = [], [], [], []
+    docs, nodes, ways, rels, media = [], [], [], [], []
     for i in range(n_docs):
-        d, n, w, r = build_document(i, seed, heavy)
+        d, n, w, r, m = build_document(i, seed, heavy)
         docs.append(d)
         nodes.extend(n)
         ways.extend(w)
         rels.extend(r)
-    return docs, nodes, ways, rels
+        media.append(m)
+    return docs, nodes, ways, rels, media
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
@@ -565,8 +599,20 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         shutil.rmtree(out_dir)
     n_docs = SF_DOCS.get(sf_name, 19)
     os.makedirs(out_dir, exist_ok=True)
-    docs, nodes, ways, rels = generate(
+    docs, nodes, ways, rels, media = generate(
         n_docs, heavy=sf_name.startswith("sf_scale"))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([m["doc_id"] for m in media], pa.string()),
+            "media_ref": pa.array([m["media_ref"] for m in media],
+                                  pa.string()),
+            "width": pa.array([m["width"] for m in media], pa.int32()),
+            "height": pa.array([m["height"] for m in media], pa.int32()),
+            "n_frames": pa.array([m["n_frames"] for m in media],
+                                 pa.int32()),
+        }),
+        os.path.join(out_dir, "gt_media.parquet"),
+    )
 
     doc_table = pa.table({
         "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
