@@ -16,9 +16,12 @@ Semantics reproduced (cited), algorithms re-derived:
   * terminus square ≈ road width (geometry/terminus.rs:8-64)
   * degenerate 2-road trim: 1.0 m ideal, 0.1 m min (geometry/degenerate.rs)
   * general case: adjacent-edge collision → deepest hit wins per road
-    (geometry/general_case.rs:11-128) — our corner polygon orders all
-    end-cap corners by angle (the reference walks per-road corner arcs;
-    equivalent for convex junctions, divergence documented)
+    (geometry/general_case.rs:11-128); the corner polygon is the
+    reference's own walk (geometry/mod.rs:172-229 polygon_from_corners:
+    trimmed-edge endpoints + adjacent-pair corners from edges
+    re-extended to their untrimmed lengths, wrong-half hits skipped) —
+    see intersection_polygon's general branch, NOT an angle-ordered
+    approximation
   * movements + kind classification and the traffic-conflict lattice
     Uncontested < Diverge < Merge < Cross (intersection.rs:297-447)
 """

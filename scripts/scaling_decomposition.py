@@ -50,4 +50,8 @@ for f,c,sid,nt,cpu,name in rows:
     out.append((w,sid,nt,cpu,name))
 out.sort(reverse=True)
 total_cpu = sum(cpu for _,_,_,cpu,_ in out)
+import os as _os
+if _os.environ.get("DIAG_STAGES"):
+    for w,sid,nt,cpu,name in out[:14]:
+        print(f"  stage {sid:4d} wall={w:6.1f}s cpu={cpu:7.1f}s tasks={nt:3d} {name}")
 print(f"CORES={os.environ.get('DIAG_CORES','32')} wall={wall:.1f} total_cpu={total_cpu:.1f} utilization={total_cpu/(wall*int(os.environ.get('DIAG_CORES','32'))):.3f}")
