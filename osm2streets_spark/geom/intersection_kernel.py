@@ -170,6 +170,7 @@ def ramp_trims(roads_cw: list[dict]) -> dict | None:
              for r in roads_cw}
 
     best = None  # (t_thin, t_thick, thick_key)
+    len_thin = polyline_length(thin["xy"])
     for thin_pl in edges[thin["key"]]:
         for thick in (thick_a, thick_b):
             for thick_pl in edges[thick["key"]]:
@@ -180,8 +181,19 @@ def ramp_trims(roads_cw: list[dict]) -> dict | None:
                 pt = np.asarray(pt, dtype=float)
                 t_thin = _perp_trim(pt, thin_pl, d_thin_e, thin["xy"])
                 t_thick = _perp_trim(pt, thick_pl, d_thick_e, thick["xy"])
-                if t_thin is None or t_thick is None:
-                    continue
+                # the reference ABORTS the whole ramp case — falling
+                # back to trim_to_corners — when ANY pair's hit fails
+                # to project onto BOTH center lines with a valid
+                # (non-degenerate) slice: every `?` inside the
+                # on_off_ramp.rs:76-96 loop returns None from the whole
+                # function. The London Road junctions in the
+                # st_georges golden only keep their roads because of
+                # exactly this bail.
+                len_thick = polyline_length(thick["xy"])
+                if (t_thin is None or t_thick is None
+                        or t_thin > len_thin - 0.01
+                        or t_thick > len_thick - 0.01):
+                    return None
                 # minimal remaining thin length = deepest thin trim
                 if best is None or t_thin > best[0]:
                     best = (t_thin, t_thick, thick["key"])
@@ -189,7 +201,20 @@ def ramp_trims(roads_cw: list[dict]) -> dict | None:
         return None
     t_thin, t_thick, thick_key = best
     # the trimmed-off thick piece must exceed the merge point length
-    if t_thick <= MERGE_POINT_LENGTH + 1e-6:
+    # (3×EPSILON_DIST slack, on_off_ramp.rs:139-141)
+    if t_thick <= MERGE_POINT_LENGTH + 0.03:
+        return None
+    # the LENGTHEN step (on_off_ramp.rs:146-155) concatenates the cut
+    # piece of one thick onto the other thick's center with
+    # PolyLine::extend, which requires their junction endpoints to
+    # COINCIDE. Placement-shifted centers of different roads meet the
+    # junction at different points, so extend fails and the whole ramp
+    # case falls back to trim_to_corners — exactly what keeps the
+    # London Road junctions alive in the st_georges golden.
+    thick_sel = thick_a if thick_key == thick_a["key"] else thick_b
+    thick_oth = thick_b if thick_key == thick_a["key"] else thick_a
+    if not np.allclose(thick_sel["xy"][0], thick_oth["xy"][0],
+                       atol=1e-6):
         return None
     other_key = thick_b["key"] if thick_key == thick_a["key"] \
         else thick_a["key"]

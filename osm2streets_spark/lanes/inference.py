@@ -254,11 +254,58 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             # 280732115 renders 3.0 m wide, not 6.0)
             specs = [LaneSpec(SHARED_USE, FWD,
                               default_width(SHARED_USE, "", hw))]
-        elif tags.get("oneway") == "yes":
-            specs = [LaneSpec(BIKING, FWD, w)]
         else:
-            specs = [LaneSpec(BIKING, BACK, w), LaneSpec(BIKING, FWD, w)]
+            if tags.get("oneway") == "no":
+                # TWO bike lanes only when bidirectionality is
+                # EXPLICIT: muv defaults a bare highway=cycleway to
+                # oneway — the leeds golden renders untagged 566234612
+                # at 1.5 m (junction-polygon corners ±0.75 m off
+                # center) while st_georges' oneway=no 416813994
+                # renders 3.0 m. Two-way order follows the driving
+                # side (osm2lanes tests.rs way/414489468: LHT "bb" is
+                # "^v").
+                if driving_side == "right":
+                    specs = [LaneSpec(BIKING, BACK, w),
+                             LaneSpec(BIKING, FWD, w)]
+                else:
+                    specs = [LaneSpec(BIKING, FWD, w),
+                             LaneSpec(BIKING, BACK, w)]
+            else:
+                specs = [LaneSpec(BIKING, FWD, w)]
+            # explicit sidewalk tags on a standalone cycleway add a
+            # sidewalk lane behind a kerb (tests.rs way/414489468
+            # "bb|s" and way/705809125 "s|b")
+            sw = tags.get("sidewalk")
+            sw_l = sw in ("left", "both")
+            sw_r = sw in ("right", "both")
+            l_dir = BACK if driving_side == "right" else FWD
+            r_dir = FWD if driving_side == "right" else BACK
+            w_sw = default_width(SIDEWALK, "", hw)
+            w_curb = default_width(BUFFER, "curb", hw)
+            if sw_l:
+                specs = ([LaneSpec(SIDEWALK, l_dir, w_sw)]
+                         + ([LaneSpec(BUFFER, l_dir, w_curb, "curb")]
+                            if inferred_kerbs else [])
+                         + specs)
+            if sw_r:
+                specs = (specs
+                         + ([LaneSpec(BUFFER, r_dir, w_curb, "curb")]
+                            if inferred_kerbs else [])
+                         + [LaneSpec(SIDEWALK, r_dir, w_sw)])
     if specs is not None:
+        # explicit width/est_width on a standalone path way sets the
+        # TOTAL width, split across its lanes (muv reads both; the
+        # st_georges golden renders est_width=4 cycleway 692655614 at
+        # 3.98 m, not the 2-lane default 3.0)
+        wv = tags.get("width") or tags.get("est_width")
+        if wv:
+            try:
+                total = float(str(wv).replace("m", "").strip())
+                if 0.3 <= total <= 30.0:
+                    for sp in specs:
+                        sp.width = round(total / len(specs), 6)
+            except ValueError:
+                pass
         if construction:
             for s in specs:
                 s.lt = CONSTRUCTION
@@ -288,11 +335,26 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         # oneway ones measure 2.0)
         n_lanes = 1 if (oneway or reverse_oneway) else 2
 
+    # busway lanes are COUNTED IN `lanes` (standard OSM: lanes = all
+    # full-width traffic lanes incl. bus, excl. bike) — the st_georges
+    # golden renders 967715653 (lanes=4, lanes:forward=3,
+    # busway:right contraflow) at 18.3 m = 3 driving + 1 bus, not
+    # 4 driving + 1 bus (corners sit ±9.16 m off center)
+    _busway = tags.get("busway")
+    _n_bus = (
+        (tags.get("busway:left", _busway if _busway else None) == "lane")
+        + (tags.get("busway:right", _busway if _busway else None)
+           == "lane"))
     n_fwd = n_back = 0
     if oneway:
-        n_fwd = n_lanes
+        if tags.get("lanes:forward", "").isdigit():
+            n_fwd = int(tags["lanes:forward"])
+        else:
+            n_fwd = max(1, n_lanes - (_n_bus if "lanes" in tags else 0))
     elif reverse_oneway:
-        n_back = n_lanes
+        n_back = max(1, n_lanes - (_n_bus if "lanes" in tags else 0)) \
+            if not tags.get("lanes:backward", "").isdigit() \
+            else int(tags["lanes:backward"])
     else:
         if tags.get("lanes:forward", "").isdigit():
             n_fwd = int(tags["lanes:forward"])

@@ -79,8 +79,18 @@ def test_standalone_types():
     assert run(["highway=footway"])[0] == "f"
     assert run(["highway=steps"])[0] == "f"
     assert run(["highway=path"])[0] == "F"
-    assert run(["highway=cycleway"])[0] == "bb"
+    # a BARE highway=cycleway defaults to oneway in muv (the leeds
+    # golden renders untagged 566234612 at one 1.5 m lane); two lanes
+    # require explicit oneway=no
+    assert run(["highway=cycleway"])[0] == "b"
     assert run(["highway=cycleway", "oneway=yes"])[0] == "b"
+    assert run(["highway=cycleway", "oneway=no"])[0] == "bb"
+    # osm2lanes tests.rs way/414489468 and way/705809125 (LHT):
+    # standalone cycleway with explicit sidewalk tags
+    assert run(["highway=cycleway", "oneway=no", "segregated=yes",
+                "sidewalk=right"], "left") == ("bb|s", "^vvv")
+    assert run(["highway=cycleway", "oneway=yes", "segregated=yes",
+                "sidewalk=left"], "left") == ("s|b", "^^^")
     lanes, dirs = run(["railway=light_rail"])
     assert lanes == "ll"
 
