@@ -56,18 +56,40 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    all_loads: dict[str, list[list[float]]] = {}
+
+    def cpu_counters() -> tuple[float, float]:
+        """(busy_jiffies, total_jiffies) across all cpus (/proc/stat);
+        the delta over a run interval gives the box busy fraction
+        DURING the run."""
+        with open("/proc/stat") as f:
+            parts = [float(x) for x in f.readline().split()[1:]]
+        idle = parts[3] + (parts[4] if len(parts) > 4 else 0.0)
+        total = sum(parts)
+        return total - idle, total
 
     def run(name, fn):
         # warm-up (untimed), then n_timed full executions from a cold cache
         spark.catalog.clearCache()
         fn().count()
-        runs = []
+        runs, loads = [], []
         for _ in range(n_timed):
             spark.catalog.clearCache()
+            la0 = os.getloadavg()[0]
+            b0, tot0 = cpu_counters()
             t0 = time.time()
             fn().count()
-            runs.append(round(time.time() - t0, 3))
+            dt = time.time() - t0
+            b1, tot1 = cpu_counters()
+            # box-load context per timed run (round-4 verdict #4): a
+            # loaded driver box is identifiable from the artifact alone
+            # — [loadavg before, loadavg after, box CPU busy fraction
+            # during the run]
+            runs.append(round(dt, 3))
+            loads.append([round(la0, 2), round(os.getloadavg()[0], 2),
+                          round((b1 - b0) / max(tot1 - tot0, 1.0), 4)])
         all_runs[name] = runs
+        all_loads[name] = loads
         timings[name] = round(statistics.median(runs), 3)
 
     # headline: full street-network conversion
@@ -86,6 +108,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": all_runs,
+        "run_loads": all_loads,
         "protocol": f"1 warm-up + {n_timed} timed (clearCache each), median",
         "sf": sf_name,
         "docs": n_docs,

@@ -215,6 +215,38 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
     return kind, [FWD if street_oneway else side_default_dir]
 
 
+_NON_TRAVEL = {"sidewalk", "buffer"}
+
+
+def _apply_width_tag(specs: list["LaneSpec"], tags: dict) -> None:
+    """Explicit width/est_width sets the CARRIAGEWAY (kerb-to-kerb)
+    width of the way: every lane except sidewalks and kerb buffers —
+    driving, bus, bike, parking, shoulder — is scaled proportionally so
+    that subtotal equals the tag value.  Pinned by goldens: st_georges
+    width=9 residential 238956293 renders 9.01 m and width=5 414489467
+    renders 5.01 m (roadways scale too, not just standalone paths);
+    st_georges est_width=4 + sidewalk=right cycleway 414489468 renders
+    5.61 m = 4.0 + 0.11 kerb + 1.5 sidewalk (the sidewalk does NOT
+    absorb a share); neukolln width=6 residential 1132568204 with
+    parking:right=lane renders 6.01 m total (parking IS inside the
+    scaled set, driving+parking together = 6).  Falls back to scaling
+    every lane when the way has no carriageway lanes at all."""
+    wv = tags.get("width") or tags.get("est_width")
+    if not wv:
+        return
+    try:
+        total = float(str(wv).replace("m", "").strip())
+    except ValueError:
+        return
+    if not 0.3 <= total <= 30.0:
+        return
+    travel = [sp for sp in specs if sp.lt not in _NON_TRAVEL]
+    target = travel if travel else specs
+    dsum = sum(sp.width for sp in target) or 1.0
+    for sp in target:
+        sp.width = round(total * sp.width / dsum, 6)
+
+
 def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                        inferred_sidewalks: bool = True,
                        inferred_kerbs: bool = True) -> list[LaneSpec]:
@@ -237,23 +269,59 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         # (osm2lanes algorithm.rs:279-285: sidepath footways become
         # Sidewalk) — this also keeps T2 from splicing a sidewalk way
         # with a crossing way (their lane specs must differ)
-        lt = SIDEWALK if tags.get("footway") == "sidewalk" else FOOTWAY
-        # width follows the LANE TYPE: a separately-mapped sidewalk is
-        # 1.5 m (SIDEWALK_THICKNESS), a plain footway 2.0 m — verified
-        # against the neukolln golden (sidewalk-crossing corner sits
-        # 0.75 m off center) and the tempe golden (footway=crossing
-        # pieces render 2.0 m wide)
-        specs = [LaneSpec(lt, FWD, default_width(lt, "", hw))]
+        if tags.get("foot") == "yes" and tags.get("bicycle") in \
+                ("yes", "designated") and tags.get("segregated") != "yes":
+            # an unsegregated footway explicitly shared by foot AND
+            # bike is a shared-use path (tests.rs way/523882355 "F";
+            # bicycle=yes ALONE does not upgrade — the taipei golden
+            # renders footway+bicycle=yes 461272339 as a 2.0 m footway)
+            specs = [LaneSpec(SHARED_USE, FWD,
+                              default_width(SHARED_USE, "", hw))]
+        else:
+            lt = SIDEWALK if tags.get("footway") == "sidewalk" else FOOTWAY
+            # width follows the LANE TYPE: a separately-mapped sidewalk
+            # is 1.5 m (SIDEWALK_THICKNESS), a plain footway 2.0 m —
+            # verified against the neukolln golden (sidewalk-crossing
+            # corner sits 0.75 m off center) and the tempe golden
+            # (footway=crossing pieces render 2.0 m wide)
+            specs = [LaneSpec(lt, FWD, default_width(lt, "", hw))]
+        if tags.get("segregated") == "yes" \
+                and tags.get("bicycle") == "designated":
+            # segregated foot+cycle path mapped as a footway: a
+            # separate bike lane rides alongside the foot lane (muv
+            # segregated path semantics; the taipei goldens render the
+            # footway=sidewalk + bicycle=designated + segregated=yes
+            # ways 3.0 m wide — 1.5 sidewalk + 1.5 bike — including a
+            # 3.0 m terminus trim, vs 1.5 for a plain sidewalk).
+            # bicycle=yes alone does NOT widen (taipei 461272339
+            # stays 2.0 m in its golden).
+            specs = [LaneSpec(BIKING, FWD, default_width(BIKING, "", hw))] \
+                + specs
     elif hw == "path":
         specs = [LaneSpec(SHARED_USE, FWD, default_width(SHARED_USE, "", hw))]
     elif hw == "cycleway":
         w = default_width(BIKING, "", hw)
-        if tags.get("foot") == "yes" and tags.get("segregated") != "yes":
-            # foot-shared unsegregated cycleway = ONE 3 m shared-use
-            # lane regardless of bike onewayness (bristol golden:
-            # 280732115 renders 3.0 m wide, not 6.0)
-            specs = [LaneSpec(SHARED_USE, FWD,
-                              default_width(SHARED_USE, "", hw))]
+        if (tags.get("foot") == "yes" and tags.get("segregated") != "yes") \
+                or tags.get("segregated") == "no":
+            # foot-shared unsegregated cycleway = 3 m shared-use
+            # lane(s) (bristol golden: 280732115 renders 3.0 m wide,
+            # not 6.0). An explicit segregated=no alone means the same
+            # thing even without foot=yes (st_georges golden:
+            # 749084838 renders 3.0 m, not the bare-cycleway 1.5).
+            # Like bike lanes, the default is ONEWAY; an explicit
+            # oneway=no doubles the shared lane (st_georges golden:
+            # 749950688 oneway=no segregated=no terminus-trims 6.01 m
+            # = 2 x 3.0 total width; bristol's has no oneway tag)
+            w_sh = default_width(SHARED_USE, "", hw)
+            if tags.get("oneway") == "no":
+                if driving_side == "right":
+                    specs = [LaneSpec(SHARED_USE, BACK, w_sh),
+                             LaneSpec(SHARED_USE, FWD, w_sh)]
+                else:
+                    specs = [LaneSpec(SHARED_USE, FWD, w_sh),
+                             LaneSpec(SHARED_USE, BACK, w_sh)]
+            else:
+                specs = [LaneSpec(SHARED_USE, FWD, w_sh)]
         else:
             if tags.get("oneway") == "no":
                 # TWO bike lanes only when bidirectionality is
@@ -272,6 +340,15 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                              LaneSpec(BIKING, BACK, w)]
             else:
                 specs = [LaneSpec(BIKING, FWD, w)]
+            if tags.get("segregated") == "yes" \
+                    and tags.get("foot") == "yes":
+                # segregated foot+cycle track: a separate 2.0 m foot
+                # path rides alongside the bike lanes (st_georges
+                # golden: 237438710 foot=yes segregated=yes oneway=no
+                # renders 5.0 m = 1.5 + 1.5 + 2.0)
+                r_dir0 = FWD if driving_side == "right" else BACK
+                specs = specs + [LaneSpec(FOOTWAY, r_dir0,
+                                          default_width(FOOTWAY, "", hw))]
             # explicit sidewalk tags on a standalone cycleway add a
             # sidewalk lane behind a kerb (tests.rs way/414489468
             # "bb|s" and way/705809125 "s|b")
@@ -293,19 +370,7 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                             if inferred_kerbs else [])
                          + [LaneSpec(SIDEWALK, r_dir, w_sw)])
     if specs is not None:
-        # explicit width/est_width on a standalone path way sets the
-        # TOTAL width, split across its lanes (muv reads both; the
-        # st_georges golden renders est_width=4 cycleway 692655614 at
-        # 3.98 m, not the 2-lane default 3.0)
-        wv = tags.get("width") or tags.get("est_width")
-        if wv:
-            try:
-                total = float(str(wv).replace("m", "").strip())
-                if 0.3 <= total <= 30.0:
-                    for sp in specs:
-                        sp.width = round(total / len(specs), 6)
-            except ValueError:
-                pass
+        _apply_width_tag(specs, tags)
         if construction:
             for s in specs:
                 s.lt = CONSTRUCTION
@@ -340,7 +405,7 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     # golden renders 967715653 (lanes=4, lanes:forward=3,
     # busway:right contraflow) at 18.3 m = 3 driving + 1 bus, not
     # 4 driving + 1 bus (corners sit ±9.16 m off center)
-    _busway = tags.get("busway")
+    _busway = tags.get("busway:both") or tags.get("busway")
     _n_bus = (
         (tags.get("busway:left", _busway if _busway else None) == "lane")
         + (tags.get("busway:right", _busway if _busway else None)
@@ -449,7 +514,7 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         middle = [LaneSpec(SHARED_LEFT_TURN, FWD, default_width(SHARED_LEFT_TURN, "", hw))]
 
     # bus lanes adjacent to the driving lanes (busway:left/right/both=lane)
-    busway = tags.get("busway")
+    busway = tags.get("busway:both") or tags.get("busway")
     bus_left = tags.get("busway:left", busway if busway else None) == "lane"
     bus_right = tags.get("busway:right", busway if busway else None) == "lane"
 
@@ -527,7 +592,12 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     if sw_left:
         left_zone.append(LaneSpec(SIDEWALK, FWD, w_sw))
     if bike_left_kind == "track":
-        left_zone += [LaneSpec(BIKING, d, w_bike) for d in bike_left]
+        # subtype "track" marks a kerb-separated cycle track: NOT part
+        # of the carriageway for RoadPosition::Center (the taipei
+        # golden renders cycleway:right=track secondary 506351786 with
+        # a 1.55 m shift = driving-lanes-only center, not 0.75)
+        left_zone += [LaneSpec(BIKING, d, w_bike, "track")
+                      for d in bike_left]
     roadway_left: list[LaneSpec] = []
     if sh_left:
         roadway_left.append(LaneSpec(SHOULDER, FWD, w_sh))
@@ -549,7 +619,8 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         roadway_right.append(LaneSpec(SHOULDER, FWD, w_sh))
     right_zone: list[LaneSpec] = []
     if bike_right_kind == "track":
-        right_zone += [LaneSpec(BIKING, d, w_bike) for d in bike_right]
+        right_zone += [LaneSpec(BIKING, d, w_bike, "track")
+                       for d in bike_right]
     if sw_right:
         right_zone.append(LaneSpec(SIDEWALK, FWD, w_sw))
 
@@ -591,6 +662,8 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     for i, s in enumerate(specs):
         if s.lt in POSITIONAL:
             s.dir = left_dir if i < centre else right_dir
+
+    _apply_width_tag(specs, tags)
 
     if construction:
         for s in specs:

@@ -26,6 +26,12 @@ _NON_ROADWAY_BUFFERS = {"curb", "verge"}
 def _is_roadway(s) -> bool:
     if s.lt == BUFFER:
         return s.subtype not in _NON_ROADWAY_BUFFERS
+    if s.lt == BIKING and s.subtype == "track":
+        # a kerb-separated cycle track sits in the footpath zone, not
+        # the carriageway (lib.rs:133 FIXME "depends on lane vs track"
+        # — the shipped behavior, pinned by the taipei 506351786
+        # golden's 1.55 m center shift, excludes tracks)
+        return False
     return s.lt in ROADWAY
 TRAVEL = {DRIVING, BIKING, BUS, LIGHT_RAIL}
 

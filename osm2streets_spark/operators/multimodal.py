@@ -35,8 +35,10 @@ def media_spans(docs: DataFrame) -> DataFrame:
     ref = F.col("span.media_ref")
     return s.select(
         "doc_id", "span_idx", ref.alias("media_ref"),
-        # bmp:// spans carry the real payload base64 in the span text
-        F.when(ref.startswith("bmp://"), F.col("span.text"))
+        # bmp:// and png:// spans carry the real payload base64 in the
+        # span text
+        F.when(ref.startswith("bmp://") | ref.startswith("png://"),
+               F.col("span.text"))
          .otherwise(F.lit(None)).alias("payload_b64"),
         F.regexp_extract(ref, r"^(\w+)://", 1).alias("media_scheme"),
         F.regexp_extract(ref, r"^tile://(\d+)/(\d+)/(\d+)", 1)
@@ -62,9 +64,10 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode inside mapInPandas, one Arrow batch at a time.
 
     TWO paths:
-    * bmp:// refs carry REAL bytes (base64 in payload_b64): parsed by
-      the pure-Python 24-bit BMP codec (sources/bmp.py) — real header
-      dims, n_frames=1, and a 16-dim pixel-statistics feature.
+    * bmp:// and png:// refs carry REAL bytes (base64 in payload_b64):
+      parsed by the pure-Python 24-bit BMP codec (sources/bmp.py) or
+      the 8-bit RGB PNG codec (sources/png.py, stdlib zlib) — real
+      header dims, n_frames=1, and a 16-dim pixel-statistics feature.
     * tile:// and geojson:// refs are opaque handles into external
       stores; with no codec libs in this container their decode is a
       DETERMINISTIC FAKE (dims/frame-count/feature from the ref's
@@ -74,6 +77,7 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import base64
 
     from ..sources.bmp import bmp_feature, decode_bmp
+    from ..sources.png import decode_png
 
     for pdf in batches:
         rows = []
@@ -81,8 +85,11 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             else pd.Series([None] * len(pdf))
         for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
                                         payloads):
-            if ref.startswith("bmp://") and payload:
-                w, h, px = decode_bmp(base64.b64decode(payload))
+            if isinstance(payload, str) and payload \
+                    and ref.startswith(("bmp://", "png://")):
+                decode = decode_png if ref.startswith("png://") \
+                    else decode_bmp
+                w, h, px = decode(base64.b64decode(payload))
                 rows.append((doc_id, ref, int(w), int(h), 1,
                              bmp_feature(px)))
                 continue

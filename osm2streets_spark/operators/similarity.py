@@ -159,7 +159,10 @@ def ann_lsh_oracle_sql(emb_table: str, k: int = 5, n_queries: int = 32) -> str:
     (own bucket + 8 Hamming-1 flips) and exact cosine re-rank as the
     Spark path. Makes the LSH variant fully checkable, not rows-only."""
     def plane_dot(i: int) -> str:
-        lits = ", ".join(repr(x) for x in _PLANES[i])
+        # repr(float(x)) not repr(x): numpy>=2 scalar repr is
+        # 'np.float64(0.5)', which is invalid SQL; plain-float repr is
+        # still a shortest round-trip exact literal
+        lits = ", ".join(repr(float(x)) for x in _PLANES[i])
         return (f"list_reduce([0.0] || [cast(embedding[j] as double) * "
                 f"([{lits}])[j] for j in generate_series(1, {DIM})], "
                 f"(x, y) -> x + y)")

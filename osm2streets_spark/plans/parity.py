@@ -23,9 +23,24 @@ M_PER_DEG = 111_319.490793
 
 
 def _centroid(ring) -> tuple[float, float]:
-    xs = [p[0] for p in ring]
-    ys = [p[1] for p in ring]
-    return sum(xs) / len(xs), sum(ys) / len(ys)
+    """Polygon AREA centroid (shoelace), not the vertex mean: the
+    vertex mean is biased toward the ring's (arbitrary) start vertex by
+    the GeoJSON closing duplicate and by collinear vertex splits, which
+    inflated d_int by ~0.5-1.5 m on byte-identical-shape rings."""
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    a2 = cx = cy = 0.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        cross = x0 * y1 - x1 * y0
+        a2 += cross
+        cx += (x0 + x1) * cross
+        cy += (y0 + y1) * cross
+    if abs(a2) < 1e-18:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        return sum(xs) / len(xs), sum(ys) / len(ys)
+    return cx / (3.0 * a2), cy / (3.0 * a2)
 
 
 def _dist_m(a, b) -> float:

@@ -205,8 +205,13 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
         # fingerprint: muv's Lane does not embed it, and the
         # seattle_slip_lane golden splices service=parking_aisle with
         # service=driveway chains at their shared junctions.
+        # NOTE `lanes` is NOT a fingerprint key: the raw count tag is
+        # not embedded in the muv Lane — only the DERIVED specs are,
+        # and spec equality is checked separately (st_georges golden:
+        # Lambeth Road 20139792 [untagged 2-way default] merges with
+        # 376571542 [explicit lanes=2] — identical lane specs).
         lane_keys = ("surface", "smoothness", "oneway",
-                     "width", "est_width", "maxspeed", "lanes",
+                     "width", "est_width", "maxspeed",
                      "tracktype")
         from functools import reduce
         # maxheight enters the fingerprint only when METRIC — muv's

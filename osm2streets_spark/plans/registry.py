@@ -975,7 +975,7 @@ def oracle_sql() -> dict[str, str]:
         from sp where span.kind = 'media'
       ),
       dec as (
-        -- bmp:// rows decode REAL bytes: their header dims live in
+        -- bmp:// and png:// rows decode REAL bytes: their header dims live in
         -- gt_media.parquet (written by the fixture generator from the
         -- same payload it encoded); opaque refs keep the exact
         -- first-8-byte-int64 fake twin

@@ -52,7 +52,7 @@ from ..xxh import xxhash64
 
 M_PER_DEG = 111_319.490793
 LANE_KEYS = ("surface", "smoothness", "oneway", "width",
-             "est_width", "maxspeed", "lanes", "tracktype")
+             "est_width", "maxspeed", "tracktype")
 _METRIC_MAXHEIGHT = re.compile(r"^\d+(\.\d+)?\s*m?$")
 
 
@@ -500,7 +500,8 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG,
             {k: r[k] for k in ("road_id", "way_id", "seg_idx",
                                "geom_length", "trim_start", "trim_end",
                                "too_short", "src_i", "dst_i", "xy",
-                               "total_width", "highway_type")}
+                               "total_width", "highway_type",
+                               "lon0", "lat0")}
             for r in roads]
         debug_sink["ends1"] = ends1
 

@@ -38,7 +38,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v24"
+GEN_VERSION = "v25"
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -529,22 +529,25 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
             "text": json.dumps(boundary_ring, separators=(",", ":")),
             "media_ref": "", "offset": 4,
         })
-    # one REAL media payload per document: a deterministic 24-bit BMP
-    # (thumbnail-sized gradient derived from the doc index) carried
-    # base64 in the span text — the mm_media_decode real-decode path
-    bmp_span, bmp_gt = _bmp_media_span(doc_id, len(spans))
-    spans.append(bmp_span)
+    # one REAL media payload per document: a deterministic
+    # thumbnail-sized gradient carried base64 in the span text — the
+    # mm_media_decode real-decode path. Codec alternates by doc hash:
+    # half the corpus is 24-bit BMP, half 8-bit RGB PNG (RFC 2083,
+    # stdlib zlib), so BOTH real decoders stay oracle-exercised.
+    media_span, media_gt = _media_span(doc_id, len(spans))
+    spans.append(media_span)
     doc_row = {"doc_id": doc_id, "spans": spans}
-    return doc_row, gt_nodes, gt_ways, gt_rels, bmp_gt
+    return doc_row, gt_nodes, gt_ways, gt_rels, media_gt
 
 
-def _bmp_media_span(doc_id: str, offset: int):
-    """Deterministic small BMP for this doc + its gt row."""
+def _media_span(doc_id: str, offset: int):
+    """Deterministic small BMP or PNG for this doc + its gt row."""
     import base64
 
     import numpy as np
 
     from .bmp import encode_bmp
+    from .png import encode_png
 
     h = abs(xxhash64(doc_id, 7))
     w = 8 + (h % 5) * 4
@@ -555,8 +558,12 @@ def _bmp_media_span(doc_id: str, offset: int):
         ((yy * 255) // max(ht - 1, 1)).astype(np.uint8),
         np.full((ht, w), h % 251, dtype=np.uint8),
     ], axis=-1)
-    data = encode_bmp(px)
-    ref = f"bmp://{doc_id}/0"
+    if (h >> 7) % 2:
+        data = encode_png(px)
+        ref = f"png://{doc_id}/0"
+    else:
+        data = encode_bmp(px)
+        ref = f"bmp://{doc_id}/0"
     span = {"kind": "media",
             "text": base64.b64encode(data).decode("ascii"),
             "media_ref": ref, "offset": offset}

@@ -123,6 +123,10 @@ def iter_primitive_blocks(data: bytes):
                 # silently parsing the extract as empty
                 other_codec = {4: "lzma", 5: "bzip2", 6: "lz4",
                                7: "zstd"}[fno]
+        if btype not in ("OSMHeader", "OSMData"):
+            # the PBF spec says parsers should skip unrecognized blob
+            # types — even ones whose codec we can't decode
+            continue
         if payload is None:
             if other_codec:
                 raise ValueError(

@@ -1,19 +1,38 @@
 """Lane-inference parity with the reference unit table
-(osm2lanes/src/tests.rs:14-101 char-code cases)."""
+(osm2lanes/src/tests.rs:14-345 char-code cases).
+
+ALL 24 active reference cases are ported below (the table upstream has
+26 entries of which 2 are commented out with /* */ — ways 369623526 and
+539534598; both excluded here for the same reason they are excluded
+upstream). Harness mirrors the Rust one: MapConfig::default semantics
+(inferred_sidewalks=False) and `highway=residential` pushed when the
+case has no highway tag."""
 
 from osm2streets_spark.lanes import get_lane_specs_ltr, lanes_to_chars, dirs_to_chars
 
 
-def run(tags_list, side="right"):
+def run(tags_list, side="right", inferred_sidewalks=True,
+        default_highway=None):
     tags = {}
     for t in tags_list:
         k, v = t.split("=", 1)
         tags[k] = v
-    specs = get_lane_specs_ltr(tags, driving_side=side)
+    if default_highway:
+        tags.setdefault("highway", default_highway)
+    specs = get_lane_specs_ltr(tags, driving_side=side,
+                               inferred_sidewalks=inferred_sidewalks)
     return lanes_to_chars(specs), dirs_to_chars(specs)
 
 
-# (reference url comment, tags, side, lanes, dirs) — mirrors tests.rs cases
+def run_ref(tags_list, side):
+    """tests.rs harness: MapConfig::default (no sidewalk inference) and
+    `highway=residential` pushed when the case has no highway tag."""
+    return run(tags_list, side, inferred_sidewalks=False,
+               default_highway="residential")
+
+
+# (tags, side, lanes, dirs) — tests.rs cases in file order; the way id
+# comment is the reference's own citation
 CASES = [
     # way/428294122
     (["lanes=2", "oneway=yes", "sidewalk=both", "cycleway:left=lane"],
@@ -38,12 +57,62 @@ CASES = [
     # way/777565028 (left-hand driving)
     (["highway=residential", "oneway=no", "sidewalk=both"],
      "left", "s|dd|s", "^^^vvv"),
+    # way/224637155
+    (["lanes=2", "oneway=yes", "sidewalk=left"], "left", "s|dd", "^^^^"),
+    # way/4188078
+    (["lanes=2", "cycleway:left=lane", "oneway=yes", "sidewalk=left"],
+     "left", "s|bdd", "^^^^^"),
+    # way/49207928
+    (["cycleway:right=lane", "sidewalk=both"],
+     "left", "s|ddb|s", "^^^vvvv"),
+    # way/898731283
+    (["lanes=3", "sidewalk=both"], "left", "s|ddd|s", "^^^^vvv"),
+    # way/898731283 (lanes=5 hypothetical from tests.rs)
+    (["lanes=5", "sidewalk=none"], "right", "ddddd", "vv^^^"),
+    # way/335668924
+    (["lanes=1", "sidewalk=none"], "right", "d", "^"),
+    # way/632329263
+    (["bus:lanes:backward=designated|yes", "lanes=3", "lanes:backward=2",
+      "lanes:bus:backward=1", "lanes:forward=1", "psv=yes"],
+     "left", "ddB", "^vv"),
+    # way/4013378
+    (["busway:left=lane", "cycleway:left=lane", "oneway=yes"],
+     "left", "bBd", "^^^"),
+    # way/312855494
+    (["busway:right=lane"], "left", "ddB", "^vv"),
+    # way/228767989
+    (["busway:both=lane", "sidewalk=both"], "left", "s|BddB|s", "^^^^vvvv"),
+    # way/905830125
+    (["highway=cycleway", "oneway=yes"], "left", "b", "^"),
+    # way/414489468
+    (["highway=cycleway", "oneway=no", "segregated=yes", "sidewalk=right"],
+     "left", "bb|s", "^vvv"),
+    # way/705809125
+    (["highway=cycleway", "oneway=yes", "segregated=yes", "sidewalk=left"],
+     "left", "s|b", "^^^"),
+    # way/280732115
+    (["highway=cycleway", "foot=yes", "segregated=no"], "left", "F", "^"),
+    # way/523882355 (sidewalk tag on a footway is invalid and ignored)
+    (["bicycle=yes", "foot=yes", "highway=footway", "sidewalk=both"],
+     "right", "F", "^"),
+    # way/148338681 (sidewalk:left:width does NOT imply sidewalk:left)
+    (["highway=residential", "lanes=1", "oneway=yes",
+      "sidewalk:left:width=0.9"],
+     "right", "d", "^"),
+    # way/23806634
+    (["highway=secondary_link", "lanes=2", "oneway=yes",
+      "turn:lanes=reverse;left|left"],
+     "right", "dd", "^^"),
+    # way/528310266
+    (["highway=motorway", "lanes=5", "oneway=yes", "bicycle=no"],
+     "right", "ddddd", "^^^^^"),
 ]
 
 
 def test_reference_cases():
+    assert len(CASES) == 24, "all 24 active tests.rs cases stay ported"
     for tags, side, want_lanes, want_dirs in CASES:
-        lanes, dirs = run(tags, side)
+        lanes, dirs = run_ref(tags, side)
         assert lanes == want_lanes, f"{tags}: {lanes} != {want_lanes}"
         assert dirs == want_dirs, f"{tags}: {dirs} != {want_dirs}"
 

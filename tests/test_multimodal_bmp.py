@@ -1,5 +1,5 @@
-"""Real media decode: pure-Python 24-bit BMP codec + the bmp:// decode
-path through mapInPandas."""
+"""Real media decode: pure-Python 24-bit BMP + 8-bit RGB PNG codecs
+and the bmp:// / png:// decode paths through mapInPandas."""
 
 import base64
 
@@ -38,6 +38,60 @@ def test_bmp_feature_deterministic():
     assert f1 == f2 and len(f1) == 16
 
 
+def test_png_roundtrip_all_filters():
+    import struct
+    import zlib
+
+    from osm2streets_spark.sources.png import (
+        _SIG, _chunk, decode_png, encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in ((1, 1), (8, 5), (13, 16), (33, 40)):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, px2 = decode_png(encode_png(px))
+        assert (w2, h2) == (w, h)
+        np.testing.assert_array_equal(px, px2)
+    # Average (3) and Paeth (4) filters via a hand-built file
+    px = rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    stride = 7 * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(6):
+        row = px[y].reshape(-1).astype(np.int32)
+        f = 3 if y % 2 == 0 else 4
+        raw.append(f)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+            if f == 3:
+                pred = (a + b) // 2
+            else:
+                p_, pa, pb, pc = a + b - c, 0, 0, 0
+                pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            raw.append(int((row[i] - pred) % 256))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 7, 6, 8, 2, 0, 0, 0)
+    data = _SIG + _chunk(b"IHDR", ihdr) \
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    _, _, out = decode_png(data)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_png_rejects_malformed():
+    from osm2streets_spark.sources.png import decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    data[25] = 16  # IHDR bit depth -> 16
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
 def test_decode_media_real_path(spark, fixture_dir):
     from osm2streets_spark.operators.multimodal import (
         decode_media, media_spans,
@@ -46,8 +100,11 @@ def test_decode_media_real_path(spark, fixture_dir):
     docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
     media = media_spans(docs)
     dec = decode_media(media).toPandas()
-    bmp_rows = dec[dec["media_ref"].str.startswith("bmp://")]
+    bmp_rows = dec[dec["media_ref"].str.startswith(("bmp://", "png://"))]
     assert len(bmp_rows) > 0
+    # the corpus carries BOTH real codecs
+    schemes = {r.split("://")[0] for r in bmp_rows["media_ref"]}
+    assert schemes == {"bmp", "png"}
     # every bmp row's dims must equal the generator's gt
     import duckdb
     gt = duckdb.sql(
