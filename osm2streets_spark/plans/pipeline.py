@@ -252,8 +252,16 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     # plain persist here: inputs are already LogicalRDD scans (the
     # checkpoints above), so downstream analysis stays shallow and two
     # more checkpoint barriers would only serialize the tail
-    trims = run_t6(ends).persist()
-    roads_final = apply_trims(roads, trims).persist()
+    # lazy localCheckpoint rather than plain persist: these two feed
+    # FOUR consumers each (rebuild/render/live-is/finalize), and with
+    # persist every downstream transformation re-ANALYZES their full
+    # subtree — the features plan carried ~254 Exchange nodes of
+    # repeated persisted subtrees and DAG construction dominated wall
+    # time. A checkpoint truncates the lineage to a LogicalRDD at call
+    # time (toRdd paid once here, on an already-shallow tree), so the
+    # render fan-out analyzes ~20-node trees instead.
+    trims = run_t6(ends).localCheckpoint(eager=False)
+    roads_final = apply_trims(roads, trims).localCheckpoint(eager=False)
 
     # intersections surviving the transforms = endpoints of final roads
     live_is = roads_final.select(

@@ -45,7 +45,12 @@ SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # clipped OSM extract has hundreds of ways, unlike the toy
            # correctness fixtures) so per-doc geometry CPU dominates
            # fixed stage overhead — the regime the 100 TB target runs in
-           "sf_scale": 2400, "sf_scale_4x": 9600}
+           "sf_scale": 2400, "sf_scale_4x": 9600,
+           # one more 4x doubling (round-4 verdict #3): large enough
+           # that the measured 4->16-core raw-efficiency trend
+           # (0.44 at 2,400 docs -> 0.78 at 9,600) can cross 0.8
+           # MEASURED rather than extrapolated
+           "sf_scale_16x": 38400}
 
 
 # ---------------------------------------------------------------------------

@@ -37,9 +37,12 @@ sys.path.insert(0, ".")
 from osm2streets_spark.session import get_spark
 from osm2streets_spark.plans.checkpointed import run_checkpointed
 
+from osm2streets_spark.sources.fixtures import fixture_dir_for
+from osm2streets_spark.plans.pipeline import load_documents
+
 spark = get_spark("resume-proof-child", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet(os.path.join(os.environ["RP_SF_DIR"], "documents.parquet"))
+docs = load_documents(spark, fixture_dir_for(os.environ["RP_SF_DIR"]))
 run_checkpointed(spark, docs, os.environ["RP_OUT"], fingerprint="rp1")
 print("CHILD-DONE", flush=True)
 """

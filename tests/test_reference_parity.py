@@ -40,6 +40,27 @@ def test_reference_area_parity(results, area):
         f"ctrl%={m['control_agree_pct']} kind%={m['kind_agree_pct']}")
 
 
+def test_parity_sweep_artifact_gate():
+    """Round-5 tightened gate over the committed full-sweep artifact
+    (refreshed by scripts/reference_parity.py): all 30 areas pass the
+    per-area bar, and at least 20 meet the numerical-convergence
+    criterion (mean_int_dist <= 0.5 m OR exact-match >= 80%) from the
+    round-4 verdict. Currently 30/30 meet it."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "FIXTURES_PARITY.json")
+    d = json.load(open(path))
+    assert len(d) == 30
+    assert all(m["pass"] for m in d.values()), [
+        a for a, m in d.items() if not m["pass"]]
+    tight = [a for a, m in d.items()
+             if m["mean_int_dist_m"] <= 0.5
+             or m["int_matched_exact"] / max(m["int_matched"], 1) >= 0.8]
+    assert len(tight) >= 20, f"only {len(tight)} areas meet the bar"
+
+
 def test_span_sequence_passthrough(spark):
     """north_rule per-row invariant on REAL payloads: the output
     document table preserves the input span sequence exactly."""
