@@ -304,8 +304,9 @@ def run_t6(road_ends: DataFrame, trims_only: bool = False) -> DataFrame:
     per-group semantics of groupBy().applyInPandas without its
     per-group plumbing overhead (junction groups are 1-6 rows) and
     without materializing the partition."""
+    from ..session import kernel_partitions
     spark = road_ends.sparkSession
-    n = spark.sparkContext.defaultParallelism * 4
+    n = kernel_partitions(spark)
 
     def batched(batches):
         yield from stream_groups(

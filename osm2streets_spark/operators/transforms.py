@@ -747,8 +747,9 @@ def run_transforms(roads: DataFrame,
     else:
         src = src.withColumn("_tcell", F.lit(0))
 
+    from ..session import kernel_partitions
     spark = src.sparkSession
-    n = spark.sparkContext.defaultParallelism * 4
+    n = kernel_partitions(spark)
 
     def _process(pdf):
         outs = [

@@ -16,6 +16,9 @@ state is what snapshot parity checks (SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import MapConfig, DEFAULT_CONFIG
@@ -37,14 +40,48 @@ from ..operators.render import render_roads, render_intersections
 from ..operators.tiles import with_tile, quadkey
 
 
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+
+
+def _tick(label: str, _t0: list = [0.0]) -> None:
+    """SPARK_GRAFT_TIMING=1 prints wall time between pipeline segments.
+    With AQE on, a lazy localCheckpoint's toRdd EXECUTES the upstream
+    query stages at call time, so these segment times bundle Catalyst
+    analysis + job execution for everything above that boundary."""
+    if _TIMING:
+        now = time.time()
+        if label != "start":
+            print(f"    [timing] {label}: {now - _t0[0]:.2f}s", flush=True)
+        _t0[0] = now
+
+
+def _count_parquet_rows(path: str) -> int:
+    """Row count from parquet footers — metadata only, zero Spark jobs."""
+    try:
+        import glob
+        import pyarrow.parquet as pq
+        files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+                 if os.path.isdir(path) else [path])
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return 0
+
+
 def load_documents(spark: SparkSession, fixture_dir: str) -> DataFrame:
     """Read + spread documents across the cluster. A fixture is one
     small parquet file (1 input split); the pipeline's cost is Python
     geometry CPU per doc, so parallelism must come from an explicit
     doc_id repartition, not input size. (At 100 TB the Iceberg table is
     bucketed by doc_id and this becomes a no-op read-time distribution.)"""
-    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
-    n = spark.sparkContext.defaultParallelism * 2
+    path = f"{fixture_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
+    # publish the corpus size for kernel_partitions (parquet footer
+    # read, no Spark job): partition counts scale with data, not just
+    # cores, so small corpora stop paying empty-task overhead
+    n_docs = _count_parquet_rows(path)
+    spark.conf.set("spark_graft.docs_hint", str(n_docs))
+    cores = spark.sparkContext.defaultParallelism
+    n = max(1, min(cores * 2, n_docs)) if n_docs else cores * 2
     return docs.repartition(n, "doc_id")
 
 
@@ -54,8 +91,23 @@ def parse_stage(docs: DataFrame):
     # silently re-ran the parse for every ways/relations consumer —
     # the second restriction resolve and the way-signal path made that
     # 3+ full parses. (At 100 TB this frame is the bronze Iceberg table.)
+    # The parse fans out to EVERY downstream stage (nodes/ways/relations
+    # -> graph, bounds, features, restrictions, signals); with a plain
+    # persist each consumer's plan embeds the full parse subtree — the
+    # intersections plan carried 88 copies of the docs-scan exchange,
+    # and walking those trees (driver analysis, AQE, plan printing)
+    # dominated fixed overhead. Checkpointing the tall parsed frame
+    # itself regressed runtime 17→20 s (measured r5): every consumer
+    # scan re-reads FULL parse rows — the checkpoint boundary blocks
+    # column pruning and the entity filter. So: persist the tall frame
+    # (parse runs once), then checkpoint the three already-pruned entity
+    # slices — consumers get a narrow LogicalRDD leaf each, plans stay
+    # ~20 nodes, and no scan reads columns it doesn't need.
     parsed = parse_documents(docs).persist()
     nodes, ways, relations = split_entities(parsed)
+    nodes = nodes.localCheckpoint(eager=False)
+    ways = ways.localCheckpoint(eager=False)
+    relations = relations.localCheckpoint(eager=False)
     return nodes, ways, relations
 
 
@@ -83,9 +135,13 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     """Returns a dict of DataFrames: roads, intersections, road_features,
     intersection_features, features (union), output_documents (span
     passthrough)."""
+    _tick("start")
     nodes, ways, relations = parse_stage(docs)
-    # nodes additionally cached as a narrow slice (bounds, way points,
-    # features, restriction vias all hit it)
+    # nodes re-cached as a COLUMNAR layer on top of its checkpoint:
+    # the checkpoint truncates consumer plans, but its blocks are
+    # row-format; bounds/way-points/features/vias all scan nodes, and
+    # the in-memory columnar cache scans vectorized (measured: dropping
+    # this persist costs ~5 s at sf0.1)
     nodes = nodes.persist()
     roads, ints_v0, flagged = graph_stage(nodes, ways, cfg)
     # ints_v0 feeds the final intersections, the T1-merge node roster
@@ -178,6 +234,7 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     # largest cost of a run. At 100 TB this boundary is a silver
     # Iceberg table; locally the checkpoint plays that role.
     roads = roads.drop("_src_node", "_dst_node").localCheckpoint(eager=False)
+    _tick("roads checkpoint (parse+graph+flags)")
 
     imerges = None
     if transforms:
@@ -233,6 +290,7 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                               cfg.transform_split_threshold,
                               cfg.transform_split_zoom) \
             .localCheckpoint(eager=False)
+        _tick("transforms checkpoint (t6 pass1 + fixpoint kernel)")
         roads = tout.where(F.col("row_kind") == "road").drop("row_kind")
         imerges = tout.where(F.col("row_kind") == "imerge").select(
             "doc_id", F.col("src_i").alias("surviving_i"),
@@ -261,7 +319,9 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     # time (toRdd paid once here, on an already-shallow tree), so the
     # render fan-out analyzes ~20-node trees instead.
     trims = run_t6(ends).localCheckpoint(eager=False)
+    _tick("trims checkpoint (t6 pass2)")
     roads_final = apply_trims(roads, trims).localCheckpoint(eager=False)
+    _tick("roads_final checkpoint (apply_trims)")
 
     # intersections surviving the transforms = endpoints of final roads
     live_is = roads_final.select(
@@ -288,6 +348,7 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     int_feats = render_intersections(ints_final)
     features = road_feats.unionByName(int_feats)
     features = quadkey(with_tile(features, "c_lon", "c_lat", cfg.cell_zoom))
+    _tick("render fan-out analysis")
 
     # span passthrough (north_rule per-row invariant): the output document
     # table carries the input span sequence untouched

@@ -35,9 +35,35 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4 wraps every DataFrame op in a call-site capture
+        # (2+ Py4J RPCs per op, for richer error messages). The
+        # flagship's deep plans issue ~700 ops per build; the capture
+        # alone measured ~1.6 s of the driver's DAG-construction time
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cores}]")
     return builder.getOrCreate()
+
+
+def kernel_partitions(spark: SparkSession, factor: int = 4) -> int:
+    """Partition count for the Python-CPU-heavy kernel repartitions.
+
+    cores×factor for load balance (heavy groups must spread), but never
+    more than the document count: a 128-partition shuffle over a
+    21-doc test corpus is ~107 empty tasks, each paying the
+    python-worker round trip — measured as the dominant fixed cost of
+    small runs. The doc count comes from `spark_graft.docs_hint`, set
+    by load_documents from the parquet footer (no job). At deployment
+    scale the hint is >> cores×factor and this is exactly cores×factor."""
+    cores = spark.sparkContext.defaultParallelism
+    n = cores * factor
+    try:
+        hint = int(spark.conf.get("spark_graft.docs_hint", "0"))
+    except Exception:
+        hint = 0
+    if hint > 0:
+        n = max(cores, min(n, hint))
+    return n

@@ -17,13 +17,20 @@ from osm2streets_spark.plans.pipeline import (
 
 # (stage, max Exchange nodes, max checkpoint-boundary scans) in the
 # executed (pre-AQE-initial) physical plan at sf0.001. Measured 2026-08
-# on Spark 4.1: features 254/25, roads 20/5, trims 18/4,
-# intersections 233/20.
+# on Spark 4.1. Round 5 LOWERED the Exchange ceilings 254→52 (features)
+# and 233→52 (intersections): the parse stage is now a lazy
+# localCheckpoint instead of persist, so each consumer's plan embeds a
+# LogicalRDD leaf rather than the full parse subtree (which carried ~200
+# duplicated exchanges through every downstream plan and dominated
+# driver analysis time). The RDD-scan ceilings rose correspondingly
+# (25→35): every former InMemoryRelation reference to the parse frame is
+# now a checkpoint-boundary scan — same count of references, different
+# node type, one extra actual boundary (the parse materialization).
 _CEILINGS = {
-    "features": (254, 25),
-    "roads": (20, 5),
-    "trims": (18, 4),
-    "intersections": (233, 20),
+    "features": (52, 35),
+    "roads": (4, 2),
+    "trims": (4, 2),
+    "intersections": (52, 34),
 }
 
 
