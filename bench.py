@@ -68,13 +68,23 @@ def main() -> None:
         total = sum(parts)
         return total - idle, total
 
+    def cold_start():
+        """clearCache drops cached relations but NOT localCheckpoint
+        RDD blocks — those are freed by ContextCleaner only after the
+        JVM GCs the dead plan references from the previous run. Force
+        it, or a multi-run loop at a large corpus accumulates
+        checkpoint blocks until the heap OOMs (observed at 9,600
+        docs / 8 g heap)."""
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
     def run(name, fn):
         # warm-up (untimed), then n_timed full executions from a cold cache
-        spark.catalog.clearCache()
+        cold_start()
         fn().count()
         runs, loads = [], []
         for _ in range(n_timed):
-            spark.catalog.clearCache()
+            cold_start()
             la0 = os.getloadavg()[0]
             b0, tot0 = cpu_counters()
             t0 = time.time()

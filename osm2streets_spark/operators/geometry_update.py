@@ -87,9 +87,10 @@ def with_projected_geometry(roads: DataFrame, anchors: DataFrame) -> DataFrame:
     ), "doc_id")
     if "placement_shift" not in r.columns:
         r = r.withColumn("placement_shift", F.lit(0.0))
+    # batched: each withColumn is a full plan re-analysis on the driver
     return r.withColumn("_p", udf("pts", "lon0", "lat0", "placement_shift")) \
-            .withColumn("xy", F.col("_p.xy")) \
-            .withColumn("geom_length", F.col("_p.geom_length")) \
+            .withColumns({"xy": F.col("_p.xy"),
+                          "geom_length": F.col("_p.geom_length")}) \
             .drop("_p")
 
 
@@ -334,12 +335,14 @@ def build_road_ends(roads: DataFrame, restrictions_by_i: DataFrame | None,
     # one plan subtree (a union doubles the upstream subtree and the
     # stage count)
     src = roads
-    for c in ("pretrim_src", "pretrim_dst"):
-        if c not in src.columns:
-            src = src.withColumn(c, F.lit(None).cast("double"))
-    for c in ("src_is_edge", "dst_is_edge"):
-        if c not in src.columns:
-            src = src.withColumn(c, F.lit(None).cast("boolean"))
+    missing = {c: F.lit(None).cast("double")
+               for c in ("pretrim_src", "pretrim_dst")
+               if c not in src.columns}
+    missing.update({c: F.lit(None).cast("boolean")
+                    for c in ("src_is_edge", "dst_is_edge")
+                    if c not in src.columns})
+    if missing:
+        src = src.withColumns(missing)
     both = F.array(
         F.struct(
             F.col("src_i").alias("i_id"), F.lit(True).alias("is_src_end"),
@@ -518,9 +521,10 @@ def finalize_intersections(ints: DataFrame, trims: DataFrame,
         roster = roster.join(sig,
                              ["doc_id", "osm_node_id"], "left")
     else:
-        roster = roster.withColumn("has_signal", F.lit(False)) \
-            .withColumn("crossing_kind", F.lit(None).cast("string")) \
-            .withColumn("crossing_island", F.lit(None).cast("boolean"))
+        roster = roster.withColumns({
+            "has_signal": F.lit(False),
+            "crossing_kind": F.lit(None).cast("string"),
+            "crossing_island": F.lit(None).cast("boolean")})
 
     # merge_crossings kind-max order: Signalized > Marked > Unmarked
     kind_rank = (F.when(F.col("crossing_kind") == "Signalized", 3)

@@ -103,11 +103,19 @@ def parse_stage(docs: DataFrame):
     # (parse runs once), then checkpoint the three already-pruned entity
     # slices — consumers get a narrow LogicalRDD leaf each, plans stay
     # ~20 nodes, and no scan reads columns it doesn't need.
+    # EAGER checkpoints + immediate unpersist of the tall cache: the
+    # slices materialize in three jobs (the first runs the parse once,
+    # via the cache) and the tall columnar copy is released right away
+    # — otherwise tall cache + three slice checkpoints double the
+    # block-manager residency and a multi-run loop at the 9,600-doc
+    # corpus OOMs the 8 g heap (checkpoint blocks are NOT freed by
+    # clearCache, only by ContextCleaner on GC).
     parsed = parse_documents(docs).persist()
     nodes, ways, relations = split_entities(parsed)
-    nodes = nodes.localCheckpoint(eager=False)
-    ways = ways.localCheckpoint(eager=False)
-    relations = relations.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=True)
+    ways = ways.localCheckpoint(eager=True)
+    relations = relations.localCheckpoint(eager=True)
+    parsed.unpersist()
     return nodes, ways, relations
 
 

@@ -49,8 +49,12 @@ times = []
 for i in range({runs} + 1):
     # each run is a FULL pipeline execution: clear the persisted-stage
     # cache so plan-identical reruns don't silently reuse materialized
-    # stages (Spark CacheManager matches canonicalized plans)
+    # stages (Spark CacheManager matches canonicalized plans), and
+    # force a JVM GC so ContextCleaner frees the previous run's
+    # localCheckpoint blocks (clearCache does not; accumulation OOMs
+    # the heap on large corpora)
     spark.catalog.clearCache()
+    spark._jvm.System.gc()
     t0 = time.time()
     n = flagship_query(spark, fix).count()
     dt = time.time() - t0
