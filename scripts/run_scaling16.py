@@ -97,8 +97,62 @@ def run_leg(cores: int, sf: str, timed: int, warmup: bool) -> dict:
         f"stderr tail: {out.stderr[-1500:]}")
 
 
+def _steal_probe(procs: int = 16) -> dict:
+    """Run a short pinned numpy load and measure the box's steal and
+    system CPU fractions during it. This VM shares a host: in bad
+    epochs 16-proc loads see >10% steal and the 4→16 hardware ceiling
+    collapses to ~0.7 (measured), which would invalidate a raw
+    scaling-efficiency criterion. The probe detects those epochs."""
+    code = r"""
+import time, numpy as np
+from multiprocessing import Pool
+def work(seed):
+    rng = np.random.RandomState(seed)
+    a = rng.rand(160, 160); acc = 0.0
+    for _ in range(40):
+        acc += float(np.linalg.eigvalsh(a @ a.T)[-1])
+    return acc
+if __name__ == "__main__":
+    with Pool(%d) as p:
+        p.map(work, range(%d))
+""" % (procs, procs * 6)
+    s0 = open("/proc/stat").readline().split()[1:]
+    subprocess.run(_pin(procs) + [sys.executable, "-c", code],
+                   capture_output=True, timeout=300,
+                   env={**os.environ, "OMP_NUM_THREADS": "1",
+                        "OPENBLAS_NUM_THREADS": "1"})
+    s1 = open("/proc/stat").readline().split()[1:]
+    d = [float(b) - float(a) for a, b in zip(s0, s1)]
+    tot = max(sum(d), 1.0)
+    return {"steal": d[7] / tot, "sys": d[2] / tot}
+
+
+def wait_for_quiet(max_wait_min: int = 45) -> list[dict]:
+    """Block until the host is in a quiet epoch (steal < 3% under a
+    16-proc load AND quick 4→16 hw ceiling >= 0.85), or the deadline
+    passes. Returns the probe history for the artifact."""
+    history = []
+    deadline = time.time() + max_wait_min * 60
+    while True:
+        p = _steal_probe()
+        ceil = run_hw(4) / (4.0 * run_hw(16))
+        p["hw_eff_quick"] = round(ceil, 3)
+        p["t"] = time.strftime("%H:%M:%S")
+        history.append(p)
+        print(f"host probe {p['t']}: steal={p['steal']:.3f} "
+              f"sys={p['sys']:.3f} hw_eff={ceil:.3f}", flush=True)
+        if p["steal"] < 0.03 and ceil >= 0.85:
+            return history
+        if time.time() > deadline:
+            print("WARN: host never quiet within deadline — proceeding; "
+                  "numbers carry the recorded contention context", flush=True)
+            return history
+        time.sleep(150)
+
+
 def main() -> None:
     t_start = time.time()
+    probes = wait_for_quiet()
     hw4 = min(run_hw(4) for _ in range(2))
     hw16 = min(run_hw(16) for _ in range(2))
     hw_eff = hw4 / (4.0 * hw16)
@@ -111,13 +165,19 @@ def main() -> None:
         a = run_leg(4, sf, timed, warmup)
         b = run_leg(16, sf, timed, warmup)
         la1 = os.getloadavg()[0]
+        # per-row hardware control: the box's 4→16 ceiling flips
+        # between ~0.93 and ~0.77 epochs (steal 0 in both — host power
+        # policy, not contention); a ceiling measured adjacent to the
+        # leg pair lets each row carry its own normalization
+        ceil_row = run_hw(4) / (4.0 * run_hw(16))
         eff = b["docs_per_sec"] / (4 * a["docs_per_sec"])
         rows.append(dict(sf=sf, docs=docs, a=a, b=b, eff=eff,
-                         norm=eff / hw_eff, load=[round(la0, 1),
-                                                  round(la1, 1)]))
+                         ceil=ceil_row, norm=eff / ceil_row,
+                         load=[round(la0, 1), round(la1, 1)]))
         print(f"[{sf}] 4c {a['median']:.1f}s ({a['docs_per_sec']:.1f} d/s) "
               f"16c {b['median']:.1f}s ({b['docs_per_sec']:.1f} d/s) "
-              f"raw {eff:.3f} norm {eff / hw_eff:.3f} "
+              f"raw {eff:.3f} ceil {ceil_row:.3f} "
+              f"norm {eff / ceil_row:.3f} "
               f"load {la0:.1f}->{la1:.1f}", flush=True)
 
     # weak scaling across the ladder: 4 cores/9,600 docs -> 16/38,400
@@ -147,8 +207,13 @@ trend is measured, not extrapolated. The 38,400-doc row is the
 CRITERION (the deployment regime: per-core work large enough to
 amortize fixed per-job cost).
 
-| docs | 4-core runs (s) | median | d/s | 16-core runs (s) | median | d/s | raw eff | hw-norm |
-|---|---|---|---|---|---|---|---|---|
+Each row also carries its OWN hardware-ceiling control measured
+adjacent to the leg pair ("row ceil"), because the box's 4→16 ceiling
+flips between ~0.93 and ~0.77 epochs (steal 0 in both — host power
+policy); hw-norm divides by the row's own control.
+
+| docs | 4-core runs (s) | median | d/s | 16-core runs (s) | median | d/s | raw eff | row ceil | hw-norm |
+|---|---|---|---|---|---|---|---|---|---|
 """
     for r in rows:
         a, b = r["a"], r["b"]
@@ -157,13 +222,21 @@ amortize fixed per-job cost).
                f"| {a['median']:.1f} | {a['docs_per_sec']:.1f} "
                f"| {', '.join(f'{t:.0f}' for t in b['times'])} "
                f"| {b['median']:.1f} | {b['docs_per_sec']:.1f} "
-               f"| **{r['eff']:.3f}** | {r['norm']:.3f} |\n")
+               f"| **{r['eff']:.3f}** | {r['ceil']:.3f} "
+               f"| {r['norm']:.3f} |\n")
 
     crit = rows[2]
     md += f"""
 Per-leg 1-min loadavg [before, after]:
 {json.dumps({r['sf']: r['load'] for r in rows})} — the box ran nothing
 but the measurement.
+
+Host-epoch gate: this VM shares a host, and in bad epochs a 16-proc
+load sees >10% CPU steal and the hardware ceiling collapses to ~0.7
+(observed mid-round; that ladder attempt was discarded). The
+measurement starts only after a probe shows steal < 3% and quick
+ceiling ≥ 0.85. Probe history (steal/sys fractions under a pinned
+16-proc numpy load + quick ceiling): {json.dumps(probes)}
 
 **Criterion (38,400 docs, 4→16 pinned): raw {crit['eff']:.3f}**
 (hw-normalized {crit['norm']:.3f}).
