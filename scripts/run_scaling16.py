@@ -78,14 +78,19 @@ print("TIMES " + json.dumps({{"cores": cores, "times": times, "rows": n,
 def run_leg(cores: int, sf: str, timed: int, warmup: bool) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, sf=sf, timed=timed,
                          warmup=warmup)
-    out = subprocess.run(
-        _pin(cores) + [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=14000,
-        # 12 g heap for BOTH legs (identical, so the 4→16 comparison is
-        # unaffected): the 38,400-doc corpus holds ~4× the checkpoint
-        # blocks of the corpus the 8 g default was sized for
-        env={**os.environ, "SPARK_DRIVER_MEM": "12g"},
-    )
+    # full stderr to a file per leg: the 16x leg once died with only a
+    # shutdown-hook tail captured, leaving the root cause unknowable
+    errpath = f"/tmp/scaling16_{sf}_{cores}c.err"
+    with open(errpath, "w") as errf:
+        out = subprocess.run(
+            _pin(cores) + [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=errf, text=True, timeout=14000,
+            # 32 g heap for BOTH legs (identical, so the 4→16 comparison
+            # is unaffected): the 38,400-doc corpus holds ~4× the
+            # checkpoint blocks of the 9,600-doc corpus that OOMed the
+            # 8 g default; 12 g still died on the 16x leg
+            env={**os.environ, "SPARK_DRIVER_MEM": "32g"},
+        )
     for line in out.stdout.splitlines():
         if line.startswith("TIMES "):
             r = json.loads(line[6:])
@@ -94,7 +99,7 @@ def run_leg(cores: int, sf: str, timed: int, warmup: bool) -> dict:
             return r
     raise RuntimeError(
         f"no TIMES line for {sf}@{cores}c; stdout: {out.stdout[-500:]} "
-        f"stderr tail: {out.stderr[-1500:]}")
+        f"full stderr at {errpath}, tail: {open(errpath).read()[-1500:]}")
 
 
 def _steal_probe(procs: int = 16) -> dict:
