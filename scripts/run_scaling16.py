@@ -11,14 +11,13 @@ helpers this reuses):
   * 4→16 is the criterion pair — the hardware-ceiling control on this
     VM is ≈1.0 there (measured fresh each run), so raw efficiency reads
     directly against the ≥0.8 bar.
-  * 2,400/9,600-doc legs: 1 warm-up + 3 timed runs (standard protocol).
-    38,400-doc legs: 2 timed runs, NO separate warm-up — a ~20-minute
-    run amortizes JIT/worker spin-up in its first seconds, and the
-    per-run list is printed so the spread is visible.
-  * Between runs the harness clears the cache AND forces a JVM GC so
-    ContextCleaner frees the previous run's localCheckpoint blocks
-    (without it the block accumulation OOMs the 8 g heap at the
-    9,600-doc corpus — observed, fixed).
+  * 2,400/9,600-doc legs: 3 timed runs; 38,400-doc legs: 2 timed runs.
+    EVERY run is its own fresh JVM: in-JVM repeats accumulate the
+    previous run's localCheckpoint blocks (ContextCleaner frees them
+    asynchronously; clearCache + forced GC was not enough at the
+    38,400-doc corpus, which OOMed a 32 g heap on its second in-JVM
+    run — observed). Only the query is timed, not session spin-up;
+    JIT warm-up is cold in every run, identically at both core counts.
   * Box-load context (loadavg) recorded around each leg so a contended
     measurement is identifiable from the artifact.
 
@@ -38,10 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_scaling import run_hw, _pin, REPO  # noqa: E402
 
 LADDER = [
-    # (sf, docs, timed_runs, warmup)
-    ("sf_scale", 2400, 3, True),
-    ("sf_scale_4x", 9600, 3, True),
-    ("sf_scale_16x", 38400, 2, False),
+    # (sf, docs, timed_runs) — CRITERION corpus first so it is measured
+    # even if the box or the wall clock gives out mid-ladder
+    ("sf_scale_16x", 38400, 2),
+    ("sf_scale_4x", 9600, 3),
+    ("sf_scale", 2400, 3),
 ]
 
 RUNNER = r"""
@@ -56,50 +56,51 @@ sf = {sf!r}
 fix = ensure_fixtures(sf)
 spark = get_spark("scaling", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
-times = []
-n_total = {timed} + (1 if {warmup} else 0)
-for i in range(n_total):
-    # full pipeline execution each run: drop cached relations AND force
-    # a JVM GC so ContextCleaner frees the previous run's checkpoint
-    # blocks (clearCache alone leaves them; accumulation OOMs the heap)
-    spark.catalog.clearCache()
-    spark._jvm.System.gc()
-    t0 = time.time()
-    n = flagship_query(spark, fix).count()
-    dt = time.time() - t0
-    print("RUN %d %.1f" % (i, dt), flush=True)
-    if (not {warmup}) or i > 0:
-        times.append(dt)
-print("TIMES " + json.dumps({{"cores": cores, "times": times, "rows": n,
+t0 = time.time()
+n = flagship_query(spark, fix).count()
+dt = time.time() - t0
+print("TIMES " + json.dumps({{"cores": cores, "times": [dt], "rows": n,
                               "docs": SF_DOCS[sf]}}))
 """
 
 
-def run_leg(cores: int, sf: str, timed: int, warmup: bool) -> dict:
-    code = RUNNER.format(repo=REPO, cores=cores, sf=sf, timed=timed,
-                         warmup=warmup)
-    # full stderr to a file per leg: the 16x leg once died with only a
-    # shutdown-hook tail captured, leaving the root cause unknowable
-    errpath = f"/tmp/scaling16_{sf}_{cores}c.err"
+def run_once(cores: int, sf: str, run_idx: int) -> dict:
+    """One timed run = one fresh JVM. In-JVM repeats accumulate the
+    previous run's localCheckpoint blocks (ContextCleaner frees them
+    asynchronously; clearCache + System.gc() was NOT enough at the
+    38,400-doc corpus, which OOMed a 32 g heap on its second in-JVM
+    run — observed). A cold JVM per run removes carry-over entirely
+    and makes every run a genuinely independent full execution; only
+    flagship_query().count() is timed, not session spin-up."""
+    code = RUNNER.format(repo=REPO, cores=cores, sf=sf)
+    # full stderr to a file per run: an earlier 16x leg died with only
+    # a shutdown-hook tail captured, leaving the root cause unknowable
+    errpath = f"/tmp/scaling16_{sf}_{cores}c_r{run_idx}.err"
     with open(errpath, "w") as errf:
         out = subprocess.run(
             _pin(cores) + [sys.executable, "-c", code],
             stdout=subprocess.PIPE, stderr=errf, text=True, timeout=14000,
-            # 32 g heap for BOTH legs (identical, so the 4→16 comparison
-            # is unaffected): the 38,400-doc corpus holds ~4× the
-            # checkpoint blocks of the 9,600-doc corpus that OOMed the
-            # 8 g default; 12 g still died on the 16x leg
+            # identical heap at both parallelism levels, so the 4→16
+            # comparison is unaffected; one 38,400-doc run fits in 32 g
             env={**os.environ, "SPARK_DRIVER_MEM": "32g"},
         )
     for line in out.stdout.splitlines():
         if line.startswith("TIMES "):
-            r = json.loads(line[6:])
-            r["median"] = statistics.median(r["times"])
-            r["docs_per_sec"] = r["docs"] / r["median"]
-            return r
+            return json.loads(line[6:])
     raise RuntimeError(
-        f"no TIMES line for {sf}@{cores}c; stdout: {out.stdout[-500:]} "
+        f"no TIMES line for {sf}@{cores}c run {run_idx}; "
+        f"stdout: {out.stdout[-500:]} "
         f"full stderr at {errpath}, tail: {open(errpath).read()[-1500:]}")
+
+
+def run_leg(cores: int, sf: str, timed: int) -> dict:
+    runs = [run_once(cores, sf, i) for i in range(timed)]
+    times = [r["times"][0] for r in runs]
+    r = dict(cores=cores, times=times, rows=runs[0]["rows"],
+             docs=runs[0]["docs"])
+    r["median"] = statistics.median(times)
+    r["docs_per_sec"] = r["docs"] / r["median"]
+    return r
 
 
 def _steal_probe(procs: int = 16) -> dict:
@@ -132,7 +133,7 @@ if __name__ == "__main__":
     return {"steal": d[7] / tot, "sys": d[2] / tot}
 
 
-def wait_for_quiet(max_wait_min: int = 45) -> list[dict]:
+def wait_for_quiet(max_wait_min: int = 20) -> list[dict]:
     """Block until the host is in a quiet epoch (steal < 3% under a
     16-proc load AND quick 4→16 hw ceiling >= 0.85), or the deadline
     passes. Returns the probe history for the artifact."""
@@ -165,10 +166,10 @@ def main() -> None:
           flush=True)
 
     rows = []
-    for sf, docs, timed, warmup in LADDER:
+    for sf, docs, timed in LADDER:
         la0 = os.getloadavg()[0]
-        a = run_leg(4, sf, timed, warmup)
-        b = run_leg(16, sf, timed, warmup)
+        a = run_leg(4, sf, timed)
+        b = run_leg(16, sf, timed)
         la1 = os.getloadavg()[0]
         # per-row hardware control: the box's 4→16 ceiling flips
         # between ~0.93 and ~0.77 epochs (steal 0 in both — host power
@@ -185,17 +186,22 @@ def main() -> None:
               f"norm {eff / ceil_row:.3f} "
               f"load {la0:.1f}->{la1:.1f}", flush=True)
 
+    by_sf = {r["sf"]: r for r in rows}
     # weak scaling across the ladder: 4 cores/9,600 docs -> 16/38,400
-    weak = rows[2]["b"]["docs_per_sec"] / (4 * rows[1]["a"]["docs_per_sec"])
+    weak = (by_sf["sf_scale_16x"]["b"]["docs_per_sec"]
+            / (4 * by_sf["sf_scale_4x"]["a"]["docs_per_sec"]))
 
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence (round 5)
 
 Protocol per BASELINE.md north_rule: same deterministic input, same
 code, two parallelism levels — 4 and 16 CPU-PINNED local cores (taskset;
 an unpinned local[N] borrows idle host cores and flatters the small-N
-baseline by a measured ~16-19%), each leg a fresh JVM, cache cleared and
-JVM GC forced before every run so each is a full pipeline execution with
-no block carry-over; median reported with the full run list. The job is
+baseline by a measured ~16-19%), EVERY timed run its own fresh JVM
+(in-JVM repeats accumulate the previous run's localCheckpoint blocks —
+ContextCleaner frees them asynchronously, and the accumulation OOMed a
+32 g heap at the 38,400-doc corpus), so each run is an independent cold
+full pipeline execution with zero block carry-over; only the query is
+timed, not session spin-up; median reported with the full run list. The job is
 the full street-network conversion (`flagship_query`). 4→16 is the
 criterion pair because this VM's hardware ceiling there is ≈1.0
 (control below), so RAW efficiency reads directly against the ≥0.8 bar
@@ -250,10 +256,10 @@ Weak scaling (4 cores / 9,600 docs → 16 cores / 38,400 docs — the
 regime a 10^12-doc deployment runs in, adding executors to hold
 per-executor data constant): **{weak:.3f}**.
 
-Run protocol per corpus: 2,400 and 9,600 docs use 1 warm-up + 3 timed
-runs; 38,400 docs uses 2 timed runs with no separate warm-up (a ~20 min
-run amortizes JIT/worker spin-up in its first seconds; the run list
-shows the spread). Total wall time of this measurement:
+Run protocol per corpus: 2,400 and 9,600 docs use 3 timed runs; 38,400
+docs uses 2 (each ~25 min at 4 cores; the run list shows the spread).
+The corpora were measured criterion-first (38,400 → 9,600 → 2,400).
+Total wall time of this measurement:
 {(time.time() - t_start) / 60:.0f} min.
 
 ## Why the trend behaves this way
