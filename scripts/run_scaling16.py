@@ -8,16 +8,26 @@ trend 0.44 → 0.78 said would cross 0.8).
 
 Protocol notes vs scripts/run_scaling.py (whose pinned-subprocess
 helpers this reuses):
-  * 4→16 is the criterion pair — the hardware-ceiling control on this
-    VM is ≈1.0 there (measured fresh each run), so raw efficiency reads
-    directly against the ≥0.8 bar.
-  * 2,400/9,600-doc legs: 3 timed runs; 38,400-doc legs: 2 timed runs.
-    EVERY run is its own fresh JVM: in-JVM repeats accumulate the
+  * 4→16 is the criterion pair — in a quiet host epoch the
+    hardware-ceiling control on this VM is ≈0.93 there, and every run
+    carries its own adjacent ceiling probe so raw efficiency can be
+    read against the box's actual silicon behaviour at that moment.
+  * Runs are INTERLEAVED 4c/16c within each corpus: this shared-host
+    VM's 4→16 hardware ceiling flips between ~0.93 and ~0.73 epochs on
+    a minutes timescale (host power policy — steal is 0 in both), so a
+    blocked 4c-leg-then-16c-leg design lets one level land entirely in
+    a bad epoch (observed: a ladder attempt measured its 16c leg in a
+    0.73 epoch). Interleaving makes both levels sample the same epochs.
+  * EVERY run is its own fresh JVM: in-JVM repeats accumulate the
     previous run's localCheckpoint blocks (ContextCleaner frees them
     asynchronously; clearCache + forced GC was not enough at the
     38,400-doc corpus, which OOMed a 32 g heap on its second in-JVM
     run — observed). Only the query is timed, not session spin-up;
     JIT warm-up is cold in every run, identically at both core counts.
+  * Results persist to /tmp/scaling16_results.json after each corpus
+    and BENCH/BASELINE.md is rewritten after each corpus, so an
+    interruption (the round-5 session died mid-ladder once) keeps the
+    completed rows.
   * Box-load context (loadavg) recorded around each leg so a contended
     measurement is identifiable from the artifact.
 
@@ -43,6 +53,8 @@ LADDER = [
     ("sf_scale_4x", 9600, 3),
     ("sf_scale", 2400, 3),
 ]
+
+RESULTS_PATH = "/tmp/scaling16_results.json"
 
 RUNNER = r"""
 import json, sys, time
@@ -93,14 +105,41 @@ def run_once(cores: int, sf: str, run_idx: int) -> dict:
         f"full stderr at {errpath}, tail: {open(errpath).read()[-1500:]}")
 
 
-def run_leg(cores: int, sf: str, timed: int) -> dict:
-    runs = [run_once(cores, sf, i) for i in range(timed)]
-    times = [r["times"][0] for r in runs]
-    r = dict(cores=cores, times=times, rows=runs[0]["rows"],
-             docs=runs[0]["docs"])
-    r["median"] = statistics.median(times)
-    r["docs_per_sec"] = r["docs"] / r["median"]
-    return r
+def quick_ceil() -> float:
+    """One-shot 4→16 hardware-ceiling probe (~10 s) so each timed run
+    carries the box's silicon behaviour adjacent to it."""
+    return run_hw(4) / (4.0 * run_hw(16))
+
+
+def run_pair(sf: str, docs: int, timed: int) -> dict:
+    """Interleaved 4c/16c runs: per round, one ceiling probe + one 4c
+    run + one ceiling probe + one 16c run — both parallelism levels
+    sample the same host epochs (see module docstring)."""
+    la0 = os.getloadavg()[0]
+    runs4, runs16, ceils = [], [], []
+    for i in range(timed):
+        ceils.append(round(quick_ceil(), 3))
+        runs4.append(run_once(4, sf, i))
+        ceils.append(round(quick_ceil(), 3))
+        runs16.append(run_once(16, sf, i))
+        print(f"  [{sf}] round {i}: 4c {runs4[-1]['times'][0]:.1f}s "
+              f"16c {runs16[-1]['times'][0]:.1f}s "
+              f"ceils so far {ceils}", flush=True)
+    ceils.append(round(quick_ceil(), 3))
+    la1 = os.getloadavg()[0]
+
+    def leg(runs: list[dict], cores: int) -> dict:
+        times = [r["times"][0] for r in runs]
+        med = statistics.median(times)
+        return dict(cores=cores, times=times, rows=runs[0]["rows"],
+                    docs=docs, median=med, docs_per_sec=docs / med)
+
+    a, b = leg(runs4, 4), leg(runs16, 16)
+    eff = b["docs_per_sec"] / (4 * a["docs_per_sec"])
+    ceil_row = statistics.median(ceils)
+    return dict(sf=sf, docs=docs, a=a, b=b, eff=eff, ceil=ceil_row,
+                ceils=ceils, norm=eff / ceil_row,
+                load=[round(la0, 1), round(la1, 1)])
 
 
 def _steal_probe(procs: int = 16) -> dict:
@@ -141,7 +180,7 @@ def wait_for_quiet(max_wait_min: int = 20) -> list[dict]:
     deadline = time.time() + max_wait_min * 60
     while True:
         p = _steal_probe()
-        ceil = run_hw(4) / (4.0 * run_hw(16))
+        ceil = quick_ceil()
         p["hw_eff_quick"] = round(ceil, 3)
         p["t"] = time.strftime("%H:%M:%S")
         history.append(p)
@@ -156,41 +195,10 @@ def wait_for_quiet(max_wait_min: int = 20) -> list[dict]:
         time.sleep(150)
 
 
-def main() -> None:
-    t_start = time.time()
-    probes = wait_for_quiet()
-    hw4 = min(run_hw(4) for _ in range(2))
-    hw16 = min(run_hw(16) for _ in range(2))
+def write_md(rows: list[dict], probes: list[dict], hw4: float, hw16: float,
+             mins: float) -> None:
     hw_eff = hw4 / (4.0 * hw16)
-    print(f"hw ceiling 4→16: {hw4:.1f}s → {hw16:.1f}s eff {hw_eff:.3f}",
-          flush=True)
-
-    rows = []
-    for sf, docs, timed in LADDER:
-        la0 = os.getloadavg()[0]
-        a = run_leg(4, sf, timed)
-        b = run_leg(16, sf, timed)
-        la1 = os.getloadavg()[0]
-        # per-row hardware control: the box's 4→16 ceiling flips
-        # between ~0.93 and ~0.77 epochs (steal 0 in both — host power
-        # policy, not contention); a ceiling measured adjacent to the
-        # leg pair lets each row carry its own normalization
-        ceil_row = run_hw(4) / (4.0 * run_hw(16))
-        eff = b["docs_per_sec"] / (4 * a["docs_per_sec"])
-        rows.append(dict(sf=sf, docs=docs, a=a, b=b, eff=eff,
-                         ceil=ceil_row, norm=eff / ceil_row,
-                         load=[round(la0, 1), round(la1, 1)]))
-        print(f"[{sf}] 4c {a['median']:.1f}s ({a['docs_per_sec']:.1f} d/s) "
-              f"16c {b['median']:.1f}s ({b['docs_per_sec']:.1f} d/s) "
-              f"raw {eff:.3f} ceil {ceil_row:.3f} "
-              f"norm {eff / ceil_row:.3f} "
-              f"load {la0:.1f}->{la1:.1f}", flush=True)
-
     by_sf = {r["sf"]: r for r in rows}
-    # weak scaling across the ladder: 4 cores/9,600 docs -> 16/38,400
-    weak = (by_sf["sf_scale_16x"]["b"]["docs_per_sec"]
-            / (4 * by_sf["sf_scale_4x"]["a"]["docs_per_sec"]))
-
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence (round 5)
 
 Protocol per BASELINE.md north_rule: same deterministic input, same
@@ -201,27 +209,38 @@ baseline by a measured ~16-19%), EVERY timed run its own fresh JVM
 ContextCleaner frees them asynchronously, and the accumulation OOMed a
 32 g heap at the 38,400-doc corpus), so each run is an independent cold
 full pipeline execution with zero block carry-over; only the query is
-timed, not session spin-up; median reported with the full run list. The job is
-the full street-network conversion (`flagship_query`). 4→16 is the
-criterion pair because this VM's hardware ceiling there is ≈1.0
-(control below), so RAW efficiency reads directly against the ≥0.8 bar
-with no normalization caveat.
+timed, not session spin-up; median reported with the full run list. The
+job is the full street-network conversion (`flagship_query`).
+
+4→16 is the criterion pair because in a quiet epoch this VM's hardware
+ceiling there is ≈0.93 (vs ≈0.7 at 8→32 — shared silicon), so raw
+efficiency reads against the ≥0.8 bar with the smallest possible
+hardware caveat — and every run carries its own adjacent ceiling probe
+(below) so the caveat is measured per-run rather than assumed.
 
 Hardware ceiling (pure numpy, zero coordination, fixed total work,
-measured fresh this round): {hw4:.1f} s at 4 procs → {hw16:.1f} s at 16
-procs = **{hw_eff:.3f}**.
+measured fresh at the start of this sitting): {hw4:.1f} s at 4 procs →
+{hw16:.1f} s at 16 procs = **{hw_eff:.3f}**.
+
+## Why runs are interleaved 4c/16c
+
+This VM shares a host whose 4→16 ceiling flips between ~0.93 and ~0.73
+epochs on a minutes timescale (CPU steal is 0 in both — host power
+policy, not contention). A blocked design (all 4c runs, then all 16c
+runs) lets one parallelism level land entirely in a bad epoch: a prior
+ladder attempt measured its 38,400-doc 16c leg in a 0.73 epoch and got
+raw 0.717 / ceiling-normalized 0.982 (runs 4c 1316.2 s ×2, 16c
+459.1 s ×2 — kept here as recorded history). This sitting therefore
+interleaves: ceiling probe → 4c run → ceiling probe → 16c run, per
+round, so both levels sample the same epochs, and the row ceiling is
+the median of the probes bracketing its runs.
 
 ## Strong scaling 4→16 cores across the corpus-doubling ladder
 
-All three corpora measured with the same code in one sitting — the
-trend is measured, not extrapolated. The 38,400-doc row is the
+All corpora measured with the same code; the 38,400-doc row is the
 CRITERION (the deployment regime: per-core work large enough to
-amortize fixed per-job cost).
-
-Each row also carries its OWN hardware-ceiling control measured
-adjacent to the leg pair ("row ceil"), because the box's 4→16 ceiling
-flips between ~0.93 and ~0.77 epochs (steal 0 in both — host power
-policy); hw-norm divides by the row's own control.
+amortize fixed per-job cost). "row ceil" = median of the hardware-
+ceiling probes bracketing that row's runs; hw-norm divides by it.
 
 | docs | 4-core runs (s) | median | d/s | 16-core runs (s) | median | d/s | raw eff | row ceil | hw-norm |
 |---|---|---|---|---|---|---|---|---|---|
@@ -236,31 +255,37 @@ policy); hw-norm divides by the row's own control.
                f"| **{r['eff']:.3f}** | {r['ceil']:.3f} "
                f"| {r['norm']:.3f} |\n")
 
-    crit = rows[2]
     md += f"""
-Per-leg 1-min loadavg [before, after]:
-{json.dumps({r['sf']: r['load'] for r in rows})} — the box ran nothing
-but the measurement.
+Per-row probe ceilings (chronological, bracketing the interleaved
+runs) and 1-min loadavg [before, after]:
+{json.dumps({r['sf']: {'ceils': r['ceils'], 'load': r['load']} for r in rows})}
+— the box ran nothing but the measurement.
 
-Host-epoch gate: this VM shares a host, and in bad epochs a 16-proc
-load sees >10% CPU steal and the hardware ceiling collapses to ~0.7
-(observed mid-round; that ladder attempt was discarded). The
-measurement starts only after a probe shows steal < 3% and quick
-ceiling ≥ 0.85. Probe history (steal/sys fractions under a pinned
-16-proc numpy load + quick ceiling): {json.dumps(probes)}
-
+Host-epoch gate: the measurement starts only after a probe shows
+steal < 3% and quick ceiling ≥ 0.85 (in bad epochs a 16-proc load can
+also see >10% CPU steal — observed mid-round; that ladder attempt was
+discarded). Probe history (steal/sys fractions under a pinned 16-proc
+numpy load + quick ceiling): {json.dumps(probes)}
+"""
+    if "sf_scale_16x" in by_sf:
+        crit = by_sf["sf_scale_16x"]
+        md += f"""
 **Criterion (38,400 docs, 4→16 pinned): raw {crit['eff']:.3f}**
-(hw-normalized {crit['norm']:.3f}).
-
+(row ceiling {crit['ceil']:.3f}, hw-normalized {crit['norm']:.3f}).
+"""
+    if "sf_scale_16x" in by_sf and "sf_scale_4x" in by_sf:
+        weak = (by_sf["sf_scale_16x"]["b"]["docs_per_sec"]
+                / (4 * by_sf["sf_scale_4x"]["a"]["docs_per_sec"]))
+        md += f"""
 Weak scaling (4 cores / 9,600 docs → 16 cores / 38,400 docs — the
 regime a 10^12-doc deployment runs in, adding executors to hold
 per-executor data constant): **{weak:.3f}**.
-
-Run protocol per corpus: 2,400 and 9,600 docs use 3 timed runs; 38,400
-docs uses 2 (each ~25 min at 4 cores; the run list shows the spread).
+"""
+    md += f"""
+Run protocol per corpus: 2,400 and 9,600 docs use 3 interleaved rounds;
+38,400 docs uses 2 (each round ~30 min; the run list shows the spread).
 The corpora were measured criterion-first (38,400 → 9,600 → 2,400).
-Total wall time of this measurement:
-{(time.time() - t_start) / 60:.0f} min.
+Wall time of this measurement so far: {mins:.0f} min.
 
 ## Why the trend behaves this way
 
@@ -291,9 +316,46 @@ BENCH/BASELINE.md in git history for the full tables.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md", flush=True)
-    print(f"CRITERION 4→16 raw strong (16x corpus): {crit['eff']:.3f} "
-          f"{'PASS' if crit['eff'] >= 0.8 else 'MISS'}", flush=True)
+    print("wrote BENCH/BASELINE.md "
+          f"({len(rows)}/{len(LADDER)} rows)", flush=True)
+
+
+def main() -> None:
+    t_start = time.time()
+    done: list[dict] = []
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            done = json.load(f)
+        print(f"resuming: {[r['sf'] for r in done]} already measured",
+              flush=True)
+    probes = wait_for_quiet()
+    hw4 = min(run_hw(4) for _ in range(2))
+    hw16 = min(run_hw(16) for _ in range(2))
+    print(f"hw ceiling 4→16: {hw4:.1f}s → {hw16:.1f}s "
+          f"eff {hw4 / (4.0 * hw16):.3f}", flush=True)
+
+    measured = {r["sf"] for r in done}
+    for sf, docs, timed in LADDER:
+        if sf in measured:
+            continue
+        r = run_pair(sf, docs, timed)
+        done.append(r)
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(done, f)
+        print(f"[{sf}] 4c {r['a']['median']:.1f}s "
+              f"({r['a']['docs_per_sec']:.1f} d/s) "
+              f"16c {r['b']['median']:.1f}s "
+              f"({r['b']['docs_per_sec']:.1f} d/s) "
+              f"raw {r['eff']:.3f} ceil {r['ceil']:.3f} "
+              f"norm {r['norm']:.3f} load {r['load']}", flush=True)
+        order = {s: i for i, (s, _, _) in enumerate(LADDER)}
+        done.sort(key=lambda x: order[x["sf"]])
+        write_md(done, probes, hw4, hw16, (time.time() - t_start) / 60)
+
+    crit = next((r for r in done if r["sf"] == "sf_scale_16x"), None)
+    if crit:
+        print(f"CRITERION 4→16 raw strong (16x corpus): {crit['eff']:.3f} "
+              f"{'PASS' if crit['eff'] >= 0.8 else 'MISS'}", flush=True)
 
 
 if __name__ == "__main__":
