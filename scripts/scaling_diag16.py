@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Criterion-corpus scaling diagnosis: WHERE does 4->16-core efficiency
+go at 38,400 docs?
+
+The round-4 decomposition (scripts/scaling_decomposition.py) explained
+the 9,600-doc gap as per-task fixed overhead on small stages, constant
+in data volume — predicting the 38,400-doc corpus would scale BETTER.
+The round-5 ladder measured it scaling WORSE (raw ~0.70 vs 0.78), so a
+data-volume-dependent cost appears between 9,600 and 38,400 docs. This
+script separates the suspects with per-stage REST metrics at both
+parallelism levels on the criterion corpus itself:
+
+  * executorRunTime vs executorCpuTime  — a widening gap means tasks
+    STALL (GC pauses, cache-miss/memory-bandwidth, disk I/O wait)
+    rather than burn CPU;
+  * jvmGcTime                            — allocation pressure: 16
+    concurrent tasks allocate 4x faster into the same 32 g heap;
+  * memory/diskBytesSpilled              — execution-memory pressure;
+  * input/shuffle bytes                  — whether the byte volume
+    itself explains the drop (disk bandwidth is shared by all cores).
+
+Pinned + fresh JVM + 32 g heap, exactly like scripts/run_scaling16.py
+runs, so the numbers diagnose those runs. Usage:
+  python scripts/scaling_diag16.py [sf] [cores ...]
+(default: sf_scale_16x at 4 and 16 cores, one run each).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from run_scaling import _pin, REPO  # noqa: E402
+
+RUNNER = r"""
+import datetime, json, os, sys, time, urllib.request
+sys.path.insert(0, {repo!r})
+from osm2streets_spark.sources.fixtures import ensure_fixtures
+from osm2streets_spark.plans.pipeline import flagship_query
+
+cores = {cores}
+fix = ensure_fixtures({sf!r})
+# same configs as osm2streets_spark.session.get_spark, but UI ON so the
+# REST metrics are readable (get_spark disables it for benchmarks)
+from pyspark.sql import SparkSession
+b = (SparkSession.builder.appName("diag").master(f"local[{{cores}}]")
+     .config("spark.sql.shuffle.partitions", str(2 * cores))
+     .config("spark.sql.adaptive.enabled", "true")
+     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+     .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(cores))
+     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+     .config("spark.sql.session.timeZone", "UTC")
+     .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+     .config("spark.driver.memory", "32g")
+     .config("spark.ui.enabled", "true"))
+spark = b.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.time()
+n = flagship_query(spark, fix).count()
+wall = time.time() - t0
+
+app = spark.sparkContext.applicationId
+url = f"http://localhost:4040/api/v1/applications/{{app}}/stages?status=complete"
+stages = json.load(urllib.request.urlopen(url))
+tot = dict(run=0.0, cpu=0.0, gc=0.0, deser=0.0, memspill=0, diskspill=0,
+           inbytes=0, shread=0, shwrite=0, tasks=0)
+rows = []
+for s in stages:
+    if s.get("submissionTime") is None:
+        continue
+    run = s["executorRunTime"] / 1000.0
+    cpu = s.get("executorCpuTime", 0) / 1e9
+    gc = s.get("jvmGcTime", 0) / 1000.0
+    tot["run"] += run; tot["cpu"] += cpu; tot["gc"] += gc
+    tot["deser"] += s.get("executorDeserializeTime", 0) / 1000.0
+    tot["memspill"] += s.get("memoryBytesSpilled", 0)
+    tot["diskspill"] += s.get("diskBytesSpilled", 0)
+    tot["inbytes"] += s.get("inputBytes", 0)
+    tot["shread"] += s.get("shuffleReadBytes", 0)
+    tot["shwrite"] += s.get("shuffleWriteBytes", 0)
+    tot["tasks"] += s.get("numCompleteTasks", 0)
+    rows.append((run, cpu, gc, s["stageId"], s.get("numCompleteTasks", 0),
+                 s["name"][:60]))
+rows.sort(reverse=True)
+print("DIAG " + json.dumps(dict(
+    cores=cores, wall=round(wall, 1), rows_out=n,
+    total_run_s=round(tot["run"], 1), total_cpu_s=round(tot["cpu"], 1),
+    gc_s=round(tot["gc"], 1), deser_s=round(tot["deser"], 1),
+    stall_s=round(tot["run"] - tot["cpu"], 1),
+    utilization=round(tot["run"] / (wall * cores), 3),
+    cpu_utilization=round(tot["cpu"] / (wall * cores), 3),
+    mem_spill_mb=round(tot["memspill"] / 1e6, 1),
+    disk_spill_mb=round(tot["diskspill"] / 1e6, 1),
+    input_mb=round(tot["inbytes"] / 1e6, 1),
+    shuffle_read_mb=round(tot["shread"] / 1e6, 1),
+    shuffle_write_mb=round(tot["shwrite"] / 1e6, 1),
+    tasks=tot["tasks"],
+    top_stages=[dict(run_s=round(r, 1), cpu_s=round(c, 1), gc_s=round(g, 1),
+                     id=i, tasks=t, name=nm)
+                for r, c, g, i, t, nm in rows[:12]])))
+"""
+
+
+def run_diag(cores: int, sf: str) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, sf=sf)
+    errpath = f"/tmp/diag16_{sf}_{cores}c.err"
+    with open(errpath, "w") as errf:
+        out = subprocess.run(
+            _pin(cores) + [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=errf, text=True, timeout=14000,
+            env={**os.environ, "SPARK_DRIVER_MEM": "32g"})
+    for line in out.stdout.splitlines():
+        if line.startswith("DIAG "):
+            return json.loads(line[5:])
+    raise RuntimeError(f"no DIAG line at {cores}c; stdout tail: "
+                       f"{out.stdout[-400:]}; stderr at {errpath}")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "sf_scale_16x"
+    cores_list = [int(c) for c in sys.argv[2:]] or [4, 16]
+    results = []
+    for cores in cores_list:
+        r = run_diag(cores, sf)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    with open(f"/tmp/diag16_{sf}.json", "w") as f:
+        json.dump(results, f, indent=1)
+    if len(results) == 2:
+        a, b = results
+        ratio = b["cores"] / a["cores"]
+        eff = (a["wall"] / b["wall"]) / ratio
+        print(f"raw eff {a['cores']}->{b['cores']}: {eff:.3f}  "
+              f"cpu inflation: {b['total_cpu_s'] / a['total_cpu_s']:.3f}  "
+              f"gc: {a['gc_s']:.0f}s -> {b['gc_s']:.0f}s  "
+              f"stall: {a['stall_s']:.0f}s -> {b['stall_s']:.0f}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
