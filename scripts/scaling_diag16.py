@@ -106,6 +106,48 @@ print("DIAG " + json.dumps(dict(
 """
 
 
+MEMBW_PROBE = r"""
+import sys, time
+import numpy as np
+from multiprocessing import Pool
+def stream(seed):
+    # 256 MB working set per proc — far beyond L3, so this measures
+    # DRAM bandwidth, not cache. Triad-style a = b*s + c.
+    n = 32 * 1024 * 1024
+    b = np.full(n, 1.5); c = np.full(n, 2.5)
+    t0 = time.time(); reps = 6
+    for _ in range(reps):
+        a = b * 0.5 + c
+    dt = time.time() - t0
+    return reps * 3 * 8 * n / dt  # bytes moved per second (2 reads + 1 write)
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    with Pool(procs) as p:
+        rates = p.map(stream, range(procs))
+    print("GBPS %.2f" % (sum(rates) / 1e9))
+"""
+
+
+def membw(procs: int) -> float:
+    """Aggregate DRAM bandwidth (GB/s) for `procs` pinned streaming
+    processes. The compute-bound ceiling probe (run_scaling.run_hw,
+    cache-resident eigvalsh) shows ~0.99 at 4->16 on this box, but a
+    single machine shares ONE memory bus across all pinned cores — a
+    real N->4N executor scale-up multiplies memory buses along with
+    cores. This probe measures how far short of 4x the box's aggregate
+    bandwidth grows from 4 to 16 cores, i.e. the bandwidth-bound
+    hardware ceiling the pipeline's Arrow/shuffle/array phases face."""
+    out = subprocess.run(_pin(procs) + [sys.executable, "-c", MEMBW_PROBE,
+                                        str(procs)],
+                         capture_output=True, text=True, timeout=300,
+                         env={**os.environ, "OMP_NUM_THREADS": "1",
+                              "OPENBLAS_NUM_THREADS": "1"})
+    for line in out.stdout.splitlines():
+        if line.startswith("GBPS "):
+            return float(line[5:])
+    raise RuntimeError(f"membw probe failed: {out.stdout} {out.stderr[-300:]}")
+
+
 def run_diag(cores: int, sf: str) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, sf=sf)
     errpath = f"/tmp/diag16_{sf}_{cores}c.err"
@@ -124,13 +166,18 @@ def run_diag(cores: int, sf: str) -> dict:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf_scale_16x"
     cores_list = [int(c) for c in sys.argv[2:]] or [4, 16]
+    bw = {p: round(membw(p), 1) for p in (4, 16)}
+    bw_ceil = bw[16] / (4 * bw[4])
+    print(f"mem-bandwidth 4p {bw[4]} GB/s -> 16p {bw[16]} GB/s "
+          f"(bandwidth-bound 4->16 ceiling {bw_ceil:.3f})", flush=True)
     results = []
     for cores in cores_list:
         r = run_diag(cores, sf)
         results.append(r)
         print(json.dumps(r), flush=True)
     with open(f"/tmp/diag16_{sf}.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump({"membw_gbps": bw, "membw_ceiling": round(bw_ceil, 3),
+                   "levels": results}, f, indent=1)
     if len(results) == 2:
         a, b = results
         ratio = b["cores"] / a["cores"]
