@@ -66,6 +66,34 @@ def _ring_area_m2(ring) -> float:
     return abs(s) / 2.0
 
 
+def _ring_geom_exact(g_ring, o_ring, tol_m: float = 0.01) -> bool:
+    """True geometric exactness for the parity gate's OR-branch: same
+    vertex count AND every vertex within tol_m (default 1 cm) of its
+    counterpart, after canonicalizing both rings (closing duplicate
+    dropped, rotation to the lexicographically smallest vertex, both
+    orientations tried). 1 cm ≈ 1e-7 deg — far below any real
+    algorithmic divergence, so this measures "same ring up to float
+    noise", the practical meaning of byte-exact across a Rust and a
+    numpy kernel."""
+    def canon(ring):
+        pts = [tuple(p) for p in ring]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if not pts:
+            return pts
+        k = min(range(len(pts)), key=lambda i: pts[i])
+        return pts[k:] + pts[:k]
+
+    a = canon(g_ring)
+    for cand in (o_ring, list(reversed(o_ring))):
+        b = canon(cand)
+        if len(a) != len(b) or not a:
+            continue
+        if all(_dist_m(p, q) <= tol_m for p, q in zip(a, b)):
+            return True
+    return False
+
+
 def _greedy_match(golden, ours, max_dist_m: float):
     """Greedy nearest-centroid matching between two feature lists."""
     pairs = []
@@ -117,6 +145,8 @@ def compare_area(golden: dict, our_roads: list[dict],
     kind_ok = sum(1 for g, o, _ in int_pairs
                   if g.get("intersection_kind") == o.get("intersection_kind"))
     int_dists = [_dist_m(g["_c"], o["_c"]) for g, o, _ in int_pairs]
+    int_geom_exact = sum(1 for g, o, _ in int_pairs
+                         if _ring_geom_exact(g["ring"], o["ring"]))
 
     # ---- roads: way-id-set key, disambiguate by centroid ------------
     g_road_key, g_road_rest = defaultdict(list), []
@@ -138,6 +168,8 @@ def compare_area(golden: dict, our_roads: list[dict],
         g_road_rest.extend(lst)
     road_loc_pairs = _greedy_match(g_road_rest, o_road_rest, 10.0)
     road_pairs += road_loc_pairs
+    road_geom_exact = sum(1 for g, o, _ in road_pairs
+                          if _ring_geom_exact(g["ring"], o["ring"]))
 
     layer_ok = sum(1 for g, o, _ in road_pairs
                    if int(g.get("layer") or 0) == int(o.get("layer") or 0))
@@ -153,8 +185,15 @@ def compare_area(golden: dict, our_roads: list[dict],
     m = {
         "golden_roads": ng_r, "our_roads": no_r,
         "golden_ints": ng_i, "our_ints": no_i,
-        "int_matched": len(int_pairs), "int_matched_exact": n_exact,
+        # int_matched_by_id counts pairs matched via exact osm_node_id
+        # key (an IDENTITY metric — says nothing about geometry);
+        # *_geom_exact count matched pairs whose RINGS are identical to
+        # within 1 cm per vertex after canonicalization (the true
+        # byte-exactness metric, per round-5 ADVICE).
+        "int_matched": len(int_pairs), "int_matched_by_id": n_exact,
+        "int_geom_exact": int_geom_exact,
         "road_matched": len(road_pairs),
+        "road_geom_exact": road_geom_exact,
         "int_match_pct": round(100 * len(int_pairs) / max(ng_i, 1), 1),
         "road_match_pct": round(100 * len(road_pairs) / max(ng_r, 1), 1),
         "control_agree_pct": round(
@@ -172,11 +211,14 @@ def compare_area(golden: dict, our_roads: list[dict],
     # Round-5 tightening (after 30/30 at the round-3 bar): matched
     # polygons must also CONVERGE NUMERICALLY — mean area-centroid
     # distance ≤ 0.5 m on matched intersections, OR ≥80% of matched
-    # intersections byte-exact. (d_int uses the polygon area centroid;
-    # the previous vertex-mean metric was dominated by the ring's
-    # arbitrary start vertex, hiding that real distances are ~0.1 m.)
+    # intersections GEOMETRICALLY exact (ring-identical to 1 cm per
+    # vertex — round-5 ADVICE: the previous OR-branch counted node-ID
+    # key matches, which say nothing about geometry). (d_int uses the
+    # polygon area centroid; the previous vertex-mean metric was
+    # dominated by the ring's arbitrary start vertex, hiding that real
+    # distances are ~0.1 m.)
     close = lambda a, b: abs(a - b) <= max(2, 0.03 * max(a, b))
-    exact_frac = n_exact / max(len(int_pairs), 1)
+    exact_frac = int_geom_exact / max(len(int_pairs), 1)
     m["pass"] = bool(
         close(ng_r, no_r) and close(ng_i, no_i)
         and m["int_match_pct"] >= 97 and m["road_match_pct"] >= 97
@@ -231,7 +273,8 @@ def run_reference_parity(spark, areas: list[str] | None = None) -> dict:
         net = build_street_network(
             spark, docs,
             cfg=MapConfig(driving_side=side, inferred_sidewalks=False,
-                          remove_disconnected=False))
+                          remove_disconnected=False),
+            docs_hint=len(group))
         feats = (net["features"]
                  .select("doc_id", "feature_json")
                  .groupBy("doc_id")

@@ -82,7 +82,11 @@ def load_documents(spark: SparkSession, fixture_dir: str) -> DataFrame:
     spark.conf.set("spark_graft.docs_hint", str(n_docs))
     cores = spark.sparkContext.defaultParallelism
     n = max(1, min(cores * 2, n_docs)) if n_docs else cores * 2
-    return docs.repartition(n, "doc_id")
+    out = docs.repartition(n, "doc_id")
+    # hint travels WITH the frame (read by build_street_network), not
+    # only via session conf — see build_street_network docs_hint
+    out._spark_graft_docs_hint = n_docs or None
+    return out
 
 
 def parse_stage(docs: DataFrame):
@@ -139,10 +143,28 @@ def graph_stage(nodes: DataFrame, ways: DataFrame, cfg: MapConfig = DEFAULT_CONF
 def build_street_network(spark: SparkSession, docs: DataFrame,
                          cfg: MapConfig = DEFAULT_CONFIG,
                          transforms: bool = True,
-                         two_pass_t6: bool = True) -> dict:
+                         two_pass_t6: bool = True,
+                         docs_hint: int | None = None,
+                         debug_steps: bool = False) -> dict:
     """Returns a dict of DataFrames: roads, intersections, road_features,
     intersection_features, features (union), output_documents (span
-    passthrough)."""
+    passthrough).
+
+    docs_hint: corpus size for kernel_partitions scaling. Defaults to
+    the hint load_documents attached to the docs frame itself
+    (`_spark_graft_docs_hint`); the session conf is SET or UNSET here
+    at pipeline entry either way, so a docs frame that didn't come
+    through load_documents (PBF reads, a second larger corpus in the
+    same session) can't inherit a stale small hint and silently cap
+    the kernel shuffles at `cores` partitions (round-5 ADVICE:
+    invisible cross-module coupling via mutable session state)."""
+    debug_steps_df = None  # set when debug_steps and transforms run
+    if docs_hint is None:
+        docs_hint = getattr(docs, "_spark_graft_docs_hint", None)
+    if docs_hint:
+        spark.conf.set("spark_graft.docs_hint", str(int(docs_hint)))
+    else:
+        spark.conf.unset("spark_graft.docs_hint")
     _tick("start")
     nodes, ways, relations = parse_stage(docs)
     # nodes re-cached as a COLUMNAR layer on top of its checkpoint:
@@ -293,6 +315,14 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
                    & v.rlike(r"^\d+(\.\d+)?\s*m?$")),
             )))
 
+        if debug_steps:
+            # stepwise debugging (transform/mod.rs:94-109) re-runs the
+            # transform kernels recording per-pass network sizes — an
+            # opt-in, more expensive path, exactly like the reference's
+            from ..operators.transforms import run_transform_steps
+            debug_steps_df = run_transform_steps(
+                roads, cfg.zip_sidepaths, cfg.remove_disconnected,
+                cfg.transform_split_threshold, cfg.transform_split_zoom)
         tout = run_transforms(roads, cfg.zip_sidepaths,
                               cfg.remove_disconnected,
                               cfg.transform_split_threshold,
@@ -362,12 +392,15 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     # table carries the input span sequence untouched
     out_docs = docs.select("doc_id", "spans")
 
-    return {
+    out = {
         "nodes": nodes, "ways": ways, "relations": relations,
         "roads": roads_final, "intersections": ints_final,
         "features": features, "output_documents": out_docs,
         "trims": trims,
     }
+    if debug_steps:
+        out["debug_steps"] = debug_steps_df
+    return out
 
 
 def flagship_query(spark: SparkSession, fixture_dir: str) -> DataFrame:

@@ -20,7 +20,12 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
         # 2x cores: enough granularity for AQE to coalesce, not so many
         # that small-scale runs drown in task overhead. On a 1000-executor
         # cluster this becomes ~2x total cores via the same env knob.
-        shuffle_partitions = 2 * cores
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS pins it data-proportionally
+        # instead (scaling-criterion runs: same task list at every
+        # cluster size — see kernel_partitions).
+        shuffle_partitions = (
+            int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+            or 2 * cores)
     builder = (
         SparkSession.builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -33,7 +38,8 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
                 str(cores))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         .config("spark.sql.session.timeZone", "UTC")
         # PySpark 4 wraps every DataFrame op in a call-site capture
         # (2+ Py4J RPCs per op, for richer error messages). The
@@ -57,7 +63,18 @@ def kernel_partitions(spark: SparkSession, factor: int = 4) -> int:
     python-worker round trip — measured as the dominant fixed cost of
     small runs. The doc count comes from `spark_graft.docs_hint`, set
     by load_documents from the parquet footer (no job). At deployment
-    scale the hint is >> cores×factor and this is exactly cores×factor."""
+    scale the hint is >> cores×factor and this is exactly cores×factor.
+
+    DATA-PROPORTIONAL override: SPARK_GRAFT_KERNEL_PARTITIONS pins the
+    kernel partition count regardless of core count — the 100 TB-style
+    sizing (partitions follow data, a cluster of any size runs the same
+    task list in more or fewer waves). The round-6 scaling diagnosis
+    measured the cores×factor default paying ~3.8× the per-task fixed
+    JVM cost at 16c vs 4c for the same corpus, a pure asymmetry that
+    the criterion measurement eliminates by pinning."""
+    pinned = int(os.environ.get("SPARK_GRAFT_KERNEL_PARTITIONS", "0"))
+    if pinned > 0:
+        return pinned
     cores = spark.sparkContext.defaultParallelism
     n = cores * factor
     try:

@@ -86,6 +86,11 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     idat = bytearray()
     while pos + 8 <= len(data):
         (clen,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + clen > len(data):
+            # a corrupt/truncated length would otherwise yield a short
+            # body slice and surface as struct.error downstream instead
+            # of the ValueError this decoder promises (round-5 ADVICE)
+            raise ValueError("truncated PNG chunk")
         ctype = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + clen]
         pos += 12 + clen

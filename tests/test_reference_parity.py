@@ -57,7 +57,7 @@ def test_parity_sweep_artifact_gate():
         a for a, m in d.items() if not m["pass"]]
     tight = [a for a, m in d.items()
              if m["mean_int_dist_m"] <= 0.5
-             or m["int_matched_exact"] / max(m["int_matched"], 1) >= 0.8]
+             or m["int_geom_exact"] / max(m["int_matched"], 1) >= 0.8]
     assert len(tight) >= 20, f"only {len(tight)} areas meet the bar"
 
 
