@@ -36,8 +36,9 @@ def media_spans(docs: DataFrame) -> DataFrame:
     return s.select(
         "doc_id", "span_idx", ref.alias("media_ref"),
         # bmp:// and png:// spans carry the real payload base64 in the
-        # span text
-        F.when(ref.startswith("bmp://") | ref.startswith("png://"),
+        # span text; geojson:// spans carry the raw GeoJSON text
+        F.when(ref.startswith("bmp://") | ref.startswith("png://")
+               | ref.startswith("geojson://"),
                F.col("span.text"))
          .otherwise(F.lit(None)).alias("payload_b64"),
         F.regexp_extract(ref, r"^(\w+)://", 1).alias("media_scheme"),
@@ -60,21 +61,52 @@ DECODE_SCHEMA = StructType([
 ])
 
 
+def _geojson_feature(feats: list[dict]) -> list[float]:
+    """16-dim geometry-statistics feature from real GeoJSON
+    LineString features: bbox, centroid, vertex/feature counts and
+    per-feature length stats — the vector-layer analogue of
+    bmp_feature's pixel statistics."""
+    pts = np.array([c for f in feats
+                    for c in f["geometry"]["coordinates"]], dtype=np.float64)
+    if pts.size == 0:
+        return [np.float32(0.0)] * 16
+    seg_lens = []
+    for f in feats:
+        cs = np.array(f["geometry"]["coordinates"], dtype=np.float64)
+        if len(cs) > 1:
+            seg_lens.append(float(np.sum(np.hypot(*(cs[1:] - cs[:-1]).T))))
+    sl = np.array(seg_lens or [0.0])
+    vec = [
+        pts[:, 0].min(), pts[:, 0].max(), pts[:, 1].min(), pts[:, 1].max(),
+        pts[:, 0].mean(), pts[:, 1].mean(), pts[:, 0].std(), pts[:, 1].std(),
+        float(len(feats)), float(len(pts)),
+        float(len(pts)) / max(len(feats), 1),
+        sl.sum(), sl.mean(), sl.max(), sl.min(), float(len(sl)),
+    ]
+    return np.asarray(vec, dtype=np.float32).tolist()
+
+
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode inside mapInPandas, one Arrow batch at a time.
 
-    TWO paths:
+    THREE paths:
     * bmp:// and png:// refs carry REAL bytes (base64 in payload_b64):
       parsed by the pure-Python 24-bit BMP codec (sources/bmp.py) or
       the 8-bit RGB PNG codec (sources/png.py, stdlib zlib) — real
       header dims, n_frames=1, and a 16-dim pixel-statistics feature.
-    * tile:// and geojson:// refs are opaque handles into external
-      stores; with no codec libs in this container their decode is a
-      DETERMINISTIC FAKE (dims/frame-count/feature from the ref's
-      first-8-byte int64) so the frame-sampling pipeline stays
-      exactly SQL-checkable.
+    * geojson:// refs carry the raw GeoJSON FeatureCollection text in
+      the span: REAL parse — width = total coordinate positions,
+      height = feature count, n_frames = 1 (a static vector layer),
+      and a 16-dim real geometry-statistics feature (_geojson_feature).
+    * tile:// refs are opaque handles into an external tile store;
+      with no store in this container their decode is a DETERMINISTIC
+      FAKE (dims/frame-count/feature from the ref's first-8-byte
+      int64) so the frame-sampling pipeline stays exactly
+      SQL-checkable. (geojson refs whose span predates the payloaded
+      fixtures fall back to the same fake.)
     """
     import base64
+    import json
 
     from ..sources.bmp import bmp_feature, decode_bmp
     from ..sources.png import decode_png
@@ -92,6 +124,15 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 w, h, px = decode(base64.b64decode(payload))
                 rows.append((doc_id, ref, int(w), int(h), 1,
                              bmp_feature(px)))
+                continue
+            if isinstance(payload, str) and payload \
+                    and ref.startswith("geojson://"):
+                fc = json.loads(payload)
+                feats = fc.get("features", [])
+                n_coords = sum(
+                    len(f["geometry"]["coordinates"]) for f in feats)
+                rows.append((doc_id, ref, int(n_coords), len(feats), 1,
+                             _geojson_feature(feats)))
                 continue
             h = np.frombuffer(
                 ref.encode("utf-8")[:8].ljust(8, b"\0"), dtype=np.int64

@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, BooleanType, DoubleType, LongType, StringType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -536,6 +536,7 @@ def apply_standard_transforms(roads: list[dict],
                               with_sidepath_zip: bool = False,
                               imerges: dict[int, int] | None = None,
                               with_remove_disconnected: bool = True,
+                              steps: list | None = None,
                               ) -> list[dict]:
     """The standard list T1, T2, T1 (transform/mod.rs:21-29 —
     standard_for_clipped_areas deliberately does NOT remove
@@ -543,7 +544,20 @@ def apply_standard_transforms(roads: list[dict],
     extras (RemoveDisconnectedRoads exists as a separate Transformation;
     zipping matches osm2streets-py/src/lib.rs:90-99). `imerges`
     (optional dict) collects absorbed→survivor intersection merges
-    across both T1 passes."""
+    across both T1 passes.
+
+    `steps` (optional list) is the stepwise-debugging sink
+    (apply_transformations_stepwise_debugging, transform/mod.rs:94-109:
+    "original" first, then a snapshot after each transformation, named
+    per Transformation::name()): (step_name, n_roads, n_intersections)
+    appended per pass, where n_intersections counts distinct live road
+    endpoints."""
+    def _snap(name, rs):
+        if steps is not None:
+            live = {r["src_i"] for r in rs} | {r["dst_i"] for r in rs}
+            steps.append((name, len(rs), len(live)))
+
+    _snap("original", roads)
     # a cell-split dense doc must not run T4 per cell: components span
     # cells. (At scale, component pruning for split docs is a separate
     # doc-level pass over the edge list — cheap relative to geometry.)
@@ -551,9 +565,12 @@ def apply_standard_transforms(roads: list[dict],
                     for r in roads)
     if with_remove_disconnected and not doc_split:
         roads = remove_disconnected(roads)
+        _snap("remove disconnected roads", roads)
     if with_sidepath_zip:
         roads = zip_sidepaths(roads)
+        _snap("zip parallel sidepaths", roads)
     roads = collapse_short_roads(roads, imerges)
+    _snap("collapse short roads", roads)
     touched: set = set()
     roads = collapse_degenerate(roads, touched_is=touched)
     if touched:
@@ -561,7 +578,9 @@ def apply_standard_transforms(roads: list[dict],
         # splice; newly trim-annihilated roads become candidates for
         # the SECOND CollapseShortRoads pass
         _recompute_trims_at(roads, touched)
+    _snap("collapse degenerate intersections", roads)
     roads = collapse_short_roads(roads, imerges)
+    _snap("collapse short roads", roads)
     if imerges is not None:
         # close chains across the two passes (dst of pass 1 may itself
         # be absorbed in pass 2)
@@ -689,7 +708,41 @@ def run_transforms(roads: DataFrame,
     collapse may touch them (their other-cell roads are invisible to
     the group), and T4 is skipped for split docs (components span
     cells). Same mapInPandas-with-in-batch-groupby shape as run_t6."""
+    src = _prep_transform_cells(roads, split_threshold, split_zoom)
     cols = ["doc_id", "_tcell"] + [n for n, _ in _ROAD_FIELDS]
+
+    from ..session import kernel_partitions
+    spark = src.sparkSession
+    n = kernel_partitions(spark)
+
+    def _process(pdf):
+        outs = [
+            _transform_doc(doc_id, g.drop(columns=["_tcell"]),
+                           with_sidepath_zip, with_remove_disconnected,
+                           doc_split=bool(cell))
+            for (doc_id, cell), g in pdf.groupby(["doc_id", "_tcell"],
+                                                 sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    def batched(batches):
+        from .geometry_update import stream_groups
+        yield from stream_groups(batches, ["doc_id", "_tcell"], _process)
+
+    # sortWithinPartitions makes (doc, cell) groups contiguous so
+    # stream_groups bounds per-task memory to one Arrow batch + one
+    # group instead of the whole partition
+    return src.select(*cols).repartition(n, "doc_id", "_tcell") \
+        .sortWithinPartitions("doc_id", "_tcell") \
+        .mapInPandas(batched, schema=TRANSFORM_SCHEMA)
+
+
+def _prep_transform_cells(roads: DataFrame, split_threshold: int,
+                          split_zoom: int) -> DataFrame:
+    """Shared input prep for run_transforms / run_transform_steps:
+    default-fill optional per-end metadata columns, assign dense docs
+    their quadkey transform cell (_tcell; 0 = unsplit sentinel) and
+    flag frozen seam intersections."""
     src = roads
     if "osm_way_ids" not in src.columns:
         src = src.withColumn("osm_way_ids", F.array("way_id"))
@@ -746,16 +799,64 @@ def run_transforms(roads: DataFrame,
                 ["doc_id", col], "left")
     else:
         src = src.withColumn("_tcell", F.lit(0))
+    return src
+
+
+STEPS_SCHEMA = StructType(
+    [StructField("doc_id", StringType()),
+     StructField("step_idx", IntegerType()),
+     StructField("step_name", StringType()),
+     StructField("n_roads", LongType()),
+     StructField("n_intersections", LongType())])
+
+
+def run_transform_steps(roads: DataFrame,
+                        with_sidepath_zip: bool = False,
+                        with_remove_disconnected: bool = True,
+                        split_threshold: int = 4000,
+                        split_zoom: int = 12) -> DataFrame:
+    """Stepwise transformation debugging — the Spark counterpart of the
+    reference's apply_transformations_stepwise_debugging
+    (transform/mod.rs:94-109): a network-size snapshot per
+    transformation pass, "original" first, step names per
+    Transformation::name(). Like the reference's, a separate (more
+    expensive) entry point from run_transforms — it re-runs the
+    transform kernels to record the per-pass states.
+
+    Output: (doc_id, step_idx, step_name, n_roads, n_intersections).
+    For quadkey-split dense docs the counts are summed over cells
+    (frozen seam intersections count once per cell they touch — the
+    sequential replay aggregates identically)."""
+    src = _prep_transform_cells(roads, split_threshold, split_zoom)
+    cols = ["doc_id", "_tcell"] + [n for n, _ in _ROAD_FIELDS]
 
     from ..session import kernel_partitions
-    spark = src.sparkSession
-    n = kernel_partitions(spark)
+    n = kernel_partitions(src.sparkSession)
+
+    def _steps_doc(doc_id, pdf, doc_split):
+        pdf = pdf.sort_values("road_id")
+        rec = pdf.to_dict("records")
+        for r in rec:
+            r["xy"] = list(r["xy"])
+            if r.get("osm_way_ids") is None:
+                r["osm_way_ids"] = [r["way_id"]]
+            else:
+                r["osm_way_ids"] = list(r["osm_way_ids"])
+        steps: list = []
+        apply_standard_transforms(
+            rec, with_sidepath_zip, None,
+            with_remove_disconnected and not doc_split, steps=steps)
+        return pd.DataFrame({
+            "doc_id": [doc_id] * len(steps),
+            "step_idx": list(range(len(steps))),
+            "step_name": [s[0] for s in steps],
+            "n_roads": [s[1] for s in steps],
+            "n_intersections": [s[2] for s in steps],
+        })
 
     def _process(pdf):
         outs = [
-            _transform_doc(doc_id, g.drop(columns=["_tcell"]),
-                           with_sidepath_zip, with_remove_disconnected,
-                           doc_split=bool(cell))
+            _steps_doc(doc_id, g.drop(columns=["_tcell"]), bool(cell))
             for (doc_id, cell), g in pdf.groupby(["doc_id", "_tcell"],
                                                  sort=False)
         ]
@@ -765,7 +866,9 @@ def run_transforms(roads: DataFrame,
         from .geometry_update import stream_groups
         yield from stream_groups(batches, ["doc_id", "_tcell"], _process)
 
-    # sortWithinPartitions makes (doc, cell) groups contiguous so
-    # stream_groups bounds per-task memory to one Arrow batch + one
-    # group instead of the whole partition
-    return src.select(*cols).repartition(n, "doc_id", "_tcell")         .sortWithinPartitions("doc_id", "_tcell")         .mapInPandas(batched, schema=TRANSFORM_SCHEMA)
+    per_cell = src.select(*cols).repartition(n, "doc_id", "_tcell") \
+        .sortWithinPartitions("doc_id", "_tcell") \
+        .mapInPandas(batched, schema=STEPS_SCHEMA)
+    return per_cell.groupBy("doc_id", "step_idx", "step_name").agg(
+        F.sum("n_roads").alias("n_roads"),
+        F.sum("n_intersections").alias("n_intersections"))

@@ -35,7 +35,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import HIGHWAY_WHITELIST, RAILWAY_WHITELIST
-from ..sources.fixtures import fixture_dir_for, ensure_fixtures
+from ..sources.fixtures import (
+    fixture_dir_for, ensure_fixtures, ensure_debug_steps_gt,
+)
 from ..sources.osm_xml import parse_documents, split_entities
 from ..operators.extract import (
     filter_ways, with_parsed_road_tags, restriction_relations,
@@ -316,6 +318,18 @@ def queries() -> Q:
             F.round("trimmed_length", 2).alias("trimmed_length"),
             "lane_chars")
 
+    def s_debug_steps(spark, sf_dir):
+        """Stepwise transformation debugging (S11 debug layers): the
+        reference's apply_transformations_stepwise_debugging
+        (transform/mod.rs:94-109) snapshots the network before/after
+        each pass; this emits the per-pass network sizes per doc.
+        Oracle: the sequential replay's gt_debug_steps twin."""
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs, debug_steps=True)
+        return net["debug_steps"].select(
+            "doc_id", F.col("step_idx").cast("int").alias("step_idx"),
+            "step_name", "n_roads", "n_intersections")
+
     def sn_feature_snap(spark, sf_dir):
         nodes, ways, _ = _parsed(spark, sf_dir)
         roads, _, flagged = build_network_v0(filter_ways(ways), nodes)
@@ -367,6 +381,7 @@ def queries() -> Q:
         "sn_geojson_features": sn_geojson_features,
         "sn_movements": sn_movements,
         "sn_transformed_roads": sn_transformed_roads,
+        "s_debug_steps": s_debug_steps,
         "sn_feature_snap": sn_feature_snap,
         "g_rhop": g_rhop,
     })
@@ -952,6 +967,16 @@ def oracle_sql() -> dict[str, str]:
       select doc_id, way_id, osm_way_ids,
              round(trimmed_length, 2) as trimmed_length, lane_chars
       from read_parquet('{fix}/gt_transformed.parquet')
+    """
+    # s_debug_steps: stepwise-debugging twin — per-pass network sizes
+    # from the sequential replay (backfilled lazily for pre-round-6
+    # fixture dirs)
+    ensure_debug_steps_gt(fix)
+    o["s_debug_steps"] = f"""
+      select doc_id, cast(step_idx as int) as step_idx, step_name,
+             cast(n_roads as bigint) as n_roads,
+             cast(n_intersections as bigint) as n_intersections
+      from read_parquet('{fix}/gt_debug_steps.parquet')
     """
     o["g_shortest_dists"] = f"""
       select doc_id, src_i, dst_i, dist_m

@@ -531,14 +531,28 @@ def convert_document(doc_id: str, spans, cfg: MapConfig = DEFAULT_CONFIG,
             r["_tcell"] = 0
             r["src_frozen"] = r["dst_frozen"] = None
     out_roads: list[dict] = []
+    # stepwise-debug twin (run_transform_steps): per-pass counts summed
+    # over cells, keyed (step_idx, step_name)
+    step_acc: dict[tuple[int, str], list[int]] = {}
     for cell in sorted({r["_tcell"] for r in roads}):
         group = sorted((r for r in roads if r["_tcell"] == cell),
                        key=lambda r: r["road_id"])
         # split docs (nonzero cell) never run T4 — components span
         # cells (mirrors _transform_doc's doc_split guard)
+        cell_steps: list = []
         out_roads.extend(apply_standard_transforms(
             group, cfg.zip_sidepaths, imerges,
-            cfg.remove_disconnected and not bool(cell)))
+            cfg.remove_disconnected and not bool(cell),
+            steps=cell_steps))
+        for idx, (name, n_r, n_i) in enumerate(cell_steps):
+            acc = step_acc.setdefault((idx, name), [0, 0])
+            acc[0] += n_r
+            acc[1] += n_i
+    if debug_sink is not None:
+        debug_sink["transform_steps"] = [
+            {"step_idx": idx, "step_name": name,
+             "n_roads": a[0], "n_intersections": a[1]}
+            for (idx, name), a in sorted(step_acc.items())]
     roads = out_roads
 
     # re-resolve restrictions post-transform; pass-2 T6
@@ -910,9 +924,13 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
         [], [], [], [], []
     marking_rows, stop_rows, stop_feat_rows = [], [], []
     imark_rows, corner_rows = [], []
+    dbg_rows: list[dict] = []
     for doc_id, spans in doc_rows:
+        sink: dict = {}
         roads, ints, cws, mps, sls, sfs = \
-            convert_document(doc_id, spans, cfg)
+            convert_document(doc_id, spans, cfg, debug_sink=sink)
+        for s in sink.get("transform_steps", []):
+            dbg_rows.append({"doc_id": doc_id, **s})
         mp_rows.extend(mps)
         stop_rows.extend(sls)
         stop_feat_rows.extend(sfs)
@@ -947,4 +965,4 @@ def convert_documents(doc_rows, cfg: MapConfig = DEFAULT_CONFIG):
     return (road_rows, int_rows, dist_rows, cw_rows, path_rows,
             feat_rows, lanepoly_rows, surface_rows, dc_rows, mp_rows,
             blk_rows, marking_rows, stop_rows, stop_feat_rows,
-            imark_rows, corner_rows)
+            imark_rows, corner_rows, dbg_rows)

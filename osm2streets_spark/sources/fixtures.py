@@ -38,7 +38,8 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v25"
+GEN_VERSION = "v26"  # r6: geojson:// spans carry real payloads + gt rows;
+# gt_debug_steps table (stepwise transform debugging)
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
            # dedicated scaling-evidence corpus: HEAVY topologies (a real
@@ -520,13 +521,13 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
     part1 = "".join(node_xml[:half])
     part2 = "".join(node_xml[half:]) + "".join(way_xml) + "".join(rel_xml)
     tx, ty = _slippy_tile(lon0, lat0, 14)
+    gj_span, gj_gt = _geojson_span(doc_id, gt_node_src, gt_way_src, 3)
     spans = [
         {"kind": "osm_xml", "text": part1, "media_ref": "", "offset": 0},
         {"kind": "media", "text": "", "media_ref": f"tile://14/{tx}/{ty}.pbf",
          "offset": 1},
         {"kind": "osm_xml", "text": part2, "media_ref": "", "offset": 2},
-        {"kind": "media", "text": "",
-         "media_ref": f"geojson://{doc_id}/streets", "offset": 3},
+        gj_span,
     ]
     if boundary_ring is not None:
         spans.append({
@@ -542,7 +543,35 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
     media_span, media_gt = _media_span(doc_id, len(spans))
     spans.append(media_span)
     doc_row = {"doc_id": doc_id, "spans": spans}
-    return doc_row, gt_nodes, gt_ways, gt_rels, media_gt
+    return doc_row, gt_nodes, gt_ways, gt_rels, [media_gt, gj_gt]
+
+
+def _geojson_span(doc_id: str, node_src: dict, way_src: list, offset: int):
+    """REAL GeoJSON payload for the doc's geojson:// media ref: a
+    FeatureCollection of the doc's first few ways as LineStrings (from
+    the same post-clip topology the gt tables record), carried as raw
+    JSON in the span text. The gt row mirrors what decode_media derives
+    from the payload: width = total coordinate positions, height =
+    feature count, n_frames = 1 (static vector layer)."""
+    feats = []
+    n_coords = 0
+    for way_id, nd_refs, _tags in way_src[:3]:
+        coords = [[round(node_src[n][0], 7), round(node_src[n][1], 7)]
+                  for n in nd_refs if n in node_src]
+        if len(coords) < 2:
+            continue
+        n_coords += len(coords)
+        feats.append({
+            "type": "Feature", "properties": {"way_id": int(way_id)},
+            "geometry": {"type": "LineString", "coordinates": coords}})
+    ref = f"geojson://{doc_id}/streets"
+    payload = json.dumps({"type": "FeatureCollection", "features": feats},
+                         separators=(",", ":"))
+    span = {"kind": "media", "text": payload, "media_ref": ref,
+            "offset": offset}
+    gt = {"doc_id": doc_id, "media_ref": ref, "width": n_coords,
+          "height": len(feats), "n_frames": 1}
+    return span, gt
 
 
 def _media_span(doc_id: str, offset: int):
@@ -595,8 +624,54 @@ def generate(n_docs: int, seed: int = 42, heavy: bool = False):
         nodes.extend(n)
         ways.extend(w)
         rels.extend(r)
-        media.append(m)
+        media.extend(m)
     return docs, nodes, ways, rels, media
+
+
+def _write_debug_steps(out_dir: str, dbg_rows: list[dict]) -> str:
+    """gt twin of run_transform_steps (the reference's
+    apply_transformations_stepwise_debugging, transform/mod.rs:94-109):
+    per-doc per-pass network sizes from the sequential replay."""
+    path = os.path.join(out_dir, "gt_debug_steps.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in dbg_rows], pa.string()),
+            "step_idx": pa.array([r["step_idx"] for r in dbg_rows],
+                                 pa.int32()),
+            "step_name": pa.array([r["step_name"] for r in dbg_rows],
+                                  pa.string()),
+            "n_roads": pa.array([r["n_roads"] for r in dbg_rows],
+                                pa.int64()),
+            "n_intersections": pa.array(
+                [r["n_intersections"] for r in dbg_rows], pa.int64()),
+        }),
+        path,
+    )
+    return path
+
+
+def ensure_debug_steps_gt(fix_dir: str) -> str | None:
+    """Lazily backfill gt_debug_steps.parquet into an already-generated
+    fixture dir (the table was added in round 6; backfilling avoids a
+    GEN_VERSION bump, which would force regenerating the perf-only
+    scaling corpora for a table they never carry). No-op for sf_scale
+    dirs (never oracled) and when the file already exists."""
+    if os.path.basename(os.path.normpath(fix_dir)).startswith("sf_scale"):
+        return None
+    path = os.path.join(fix_dir, "gt_debug_steps.parquet")
+    if os.path.exists(path):
+        return path
+    from ..plans.sequential import convert_document
+    docs = pq.read_table(
+        os.path.join(fix_dir, "documents.parquet"),
+        columns=["doc_id", "spans"]).to_pylist()
+    dbg_rows: list[dict] = []
+    for d in docs:
+        sink: dict = {}
+        convert_document(d["doc_id"], d["spans"], debug_sink=sink)
+        for s in sink.get("transform_steps", []):
+            dbg_rows.append({"doc_id": d["doc_id"], **s})
+    return _write_debug_steps(fix_dir, dbg_rows)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
@@ -683,8 +758,9 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     (road_rows, int_rows, dist_rows, cw_rows, path_rows, feat_rows,
      lanepoly_rows, surface_rows, dc_rows, mp_rows, blk_rows,
      marking_rows, stop_rows, stop_feat_rows, imark_rows,
-     corner_rows) = \
+     corner_rows, dbg_rows) = \
         convert_documents((d["doc_id"], d["spans"]) for d in docs)
+    _write_debug_steps(out_dir, dbg_rows)
     pq.write_table(
         pa.table({
             "doc_id": pa.array([r["doc_id"] for r in road_rows], pa.string()),

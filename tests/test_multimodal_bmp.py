@@ -115,3 +115,31 @@ def test_decode_media_real_path(spark, fixture_dir):
         assert (r["width"], r["height"], r["n_frames"]) == \
             (g["width"], g["height"], 1)
         assert len(r["feature"]) == 16
+
+
+def test_geojson_real_decode_path():
+    """geojson:// spans carry raw GeoJSON; decode_media derives real
+    dims (width=coordinate count, height=feature count) and a real
+    geometry-stats feature — no deterministic fake."""
+    import pandas as pd
+
+    from osm2streets_spark.operators.multimodal import _decode_batch
+    from osm2streets_spark.sources.fixtures import _geojson_span
+
+    node_src = {1: (10.0, 50.0, "{}"), 2: (10.001, 50.001, "{}"),
+                3: (10.002, 50.0, "{}")}
+    way_src = [(7, [1, 2, 3], "{}"), (8, [3, 2], "{}")]
+    span, gt = _geojson_span("d0", node_src, way_src, 3)
+    assert gt["width"] == 5 and gt["height"] == 2 and gt["n_frames"] == 1
+
+    pdf = pd.DataFrame({"doc_id": ["d0"], "media_ref": [span["media_ref"]],
+                        "payload_b64": [span["text"]]})
+    out = pd.concat(list(_decode_batch(iter([pdf]))))
+    r = out.iloc[0]
+    assert (int(r.width), int(r.height), int(r.n_frames)) == (5, 2, 1)
+    assert len(r.feature) == 16
+    # feature stats are REAL: bbox from the actual coordinates
+    assert abs(r.feature[0] - 10.0) < 1e-6     # lon min
+    assert abs(r.feature[1] - 10.002) < 1e-6   # lon max
+    assert r.feature[8] == 2.0                 # n features
+    assert r.feature[9] == 5.0                 # n coords
