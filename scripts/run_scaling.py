@@ -79,7 +79,7 @@ def work(seed):
 
 if __name__ == "__main__":
     procs = {procs}
-    tasks = 256  # fixed total work, like strong scaling
+    tasks = {tasks}  # fixed total work, like strong scaling
     with Pool(procs) as p:
         p.map(work, range(procs))  # warm up fork + BLAS
         t0 = time.time()
@@ -118,8 +118,13 @@ def run_at(cores: int, sf: str, runs: int = 3) -> dict:
     raise RuntimeError(f"no TIMES line; stderr tail: {out.stderr[-2000:]}")
 
 
-def run_hw(procs: int) -> float:
-    code = HW_RUNNER.format(procs=procs)
+def run_hw(procs: int, tasks: int = 256) -> float:
+    """Fixed-work hardware probe. tasks=256 runs ~6 s at 4 pinned procs
+    (the quick steal-gate probe); the CEILING probes bracketing timed
+    scaling runs use tasks≈4800 so each level runs ≥30 s — short probes
+    measured physically-meaningless ceilings >1.0 on this jittery host
+    (round-5 verdict #4)."""
+    code = HW_RUNNER.format(procs=procs, tasks=tasks)
     out = subprocess.run(_pin(procs) + [sys.executable, "-c", code],
                          capture_output=True, text=True, timeout=1200,
                          env={**os.environ, "OMP_NUM_THREADS": "1",

@@ -112,23 +112,44 @@ import numpy as np
 from multiprocessing import Pool
 def stream(seed):
     # 256 MB working set per proc — far beyond L3, so this measures
-    # DRAM bandwidth, not cache. Triad-style a = b*s + c.
+    # DRAM bandwidth, not cache. Triad a = b*s + c with PREALLOCATED
+    # output: the first version of this probe allocated a fresh 256 MB
+    # array per rep, which measured kernel page-fault/zone-lock
+    # throughput (2.5 GB/s "aggregate", DECREASING with procs), not
+    # memory bandwidth.
+    n = 32 * 1024 * 1024
+    a = np.empty(n); b = np.full(n, 1.5); c = np.full(n, 2.5)
+    np.multiply(b, 0.5, out=a); a += c  # touch all pages before timing
+    t0 = time.time(); reps = 6
+    for _ in range(reps):
+        np.multiply(b, 0.5, out=a)
+        a += c
+    dt = time.time() - t0
+    # bytes moved per second (triad counted once per rep: 2 reads +
+    # 1 write for multiply, 2 reads + 1 write for +=)
+    return reps * 6 * 8 * n / dt
+def churn(seed):
+    # allocation-churn twin: fresh destination every rep — what a
+    # python worker allocating per-Arrow-batch buffers actually does.
+    # The gap between this and stream() is the kernel's page-fault
+    # cost under concurrency.
     n = 32 * 1024 * 1024
     b = np.full(n, 1.5); c = np.full(n, 2.5)
     t0 = time.time(); reps = 6
     for _ in range(reps):
         a = b * 0.5 + c
     dt = time.time() - t0
-    return reps * 3 * 8 * n / dt  # bytes moved per second (2 reads + 1 write)
+    return reps * 3 * 8 * n / dt
 if __name__ == "__main__":
     procs = int(sys.argv[1])
     with Pool(procs) as p:
         rates = p.map(stream, range(procs))
-    print("GBPS %.2f" % (sum(rates) / 1e9))
+        churns = p.map(churn, range(procs))
+    print("GBPS %.2f CHURN %.2f" % (sum(rates) / 1e9, sum(churns) / 1e9))
 """
 
 
-def membw(procs: int) -> float:
+def membw(procs: int) -> tuple[float, float]:
     """Aggregate DRAM bandwidth (GB/s) for `procs` pinned streaming
     processes. The compute-bound ceiling probe (run_scaling.run_hw,
     cache-resident eigvalsh) shows ~0.99 at 4->16 on this box, but a
@@ -144,7 +165,8 @@ def membw(procs: int) -> float:
                               "OPENBLAS_NUM_THREADS": "1"})
     for line in out.stdout.splitlines():
         if line.startswith("GBPS "):
-            return float(line[5:])
+            parts = line.split()
+            return float(parts[1]), float(parts[3])
     raise RuntimeError(f"membw probe failed: {out.stdout} {out.stderr[-300:]}")
 
 
@@ -166,10 +188,16 @@ def run_diag(cores: int, sf: str) -> dict:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf_scale_16x"
     cores_list = [int(c) for c in sys.argv[2:]] or [4, 16]
-    bw = {p: round(membw(p), 1) for p in (4, 16)}
+    bw, ch = {}, {}
+    for p in (4, 16):
+        s, c = membw(p)
+        bw[p], ch[p] = round(s, 1), round(c, 1)
     bw_ceil = bw[16] / (4 * bw[4])
-    print(f"mem-bandwidth 4p {bw[4]} GB/s -> 16p {bw[16]} GB/s "
-          f"(bandwidth-bound 4->16 ceiling {bw_ceil:.3f})", flush=True)
+    churn_ceil = ch[16] / (4 * ch[4])
+    print(f"mem-bandwidth (stream) 4p {bw[4]} GB/s -> 16p {bw[16]} GB/s "
+          f"(bandwidth-bound 4->16 ceiling {bw_ceil:.3f}); "
+          f"alloc-churn 4p {ch[4]} -> 16p {ch[16]} GB/s "
+          f"(churn ceiling {churn_ceil:.3f})", flush=True)
     results = []
     for cores in cores_list:
         r = run_diag(cores, sf)
@@ -177,6 +205,8 @@ def main() -> None:
         print(json.dumps(r), flush=True)
     with open(f"/tmp/diag16_{sf}.json", "w") as f:
         json.dump({"membw_gbps": bw, "membw_ceiling": round(bw_ceil, 3),
+                   "alloc_churn_gbps": ch,
+                   "churn_ceiling": round(churn_ceil, 3),
                    "levels": results}, f, indent=1)
     if len(results) == 2:
         a, b = results
