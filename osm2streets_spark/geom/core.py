@@ -20,7 +20,7 @@ import math
 import numpy as np
 
 # mean meters per degree of latitude (spherical earth, public constant)
-M_PER_DEG = 111_319.490793
+M_PER_DEG = 111_194.92664455873
 
 
 # ---------------------------------------------------------------------------
@@ -338,10 +338,14 @@ def thicken_polyline(pl: np.ndarray, width: float) -> np.ndarray:
     return dedupe_consecutive(ring)
 
 
-def circle_ring(center: np.ndarray, radius: float, n: int = 16) -> np.ndarray:
-    """Closed circular ring — the reference's placeholder intersection
-    polygon is a 3 m circle (intersection.rs:208)."""
-    ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+def circle_ring(center: np.ndarray, radius: float, n: int = 60) -> np.ndarray:
+    """Closed circular ring — the reference's placeholder/fallback
+    intersection polygon is a 3 m circle (intersection.rs:208,
+    operations/update_geometry.rs Err branch). The geom crate's
+    Circle::to_polygon emits 60 vertices starting at angle 0 stepping
+    clockwise (−6° in the y-up frame) — measured byte-for-byte from the
+    leeds_cycleway golden's fallback rings."""
+    ang = -np.linspace(0, 2 * math.pi, n, endpoint=False)
     pts = np.stack([center[0] + radius * np.cos(ang), center[1] + radius * np.sin(ang)], axis=1)
     return np.vstack([pts, pts[0][None, :]])
 

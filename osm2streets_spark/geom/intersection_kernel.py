@@ -302,7 +302,10 @@ def _same_endpoints(ra: dict, rb: dict) -> bool:
 
 def _end_cap_corners(xy: np.ndarray, trim: float, width: float):
     """Corners of the road's trimmed end cap: point at ``trim`` along the
-    away-pointing polyline, offset ±width/2 along the perpendicular."""
+    away-pointing polyline, offset ±width/2 along the perpendicular.
+    (Kept for the stop-line/marking callers that genuinely want a
+    perpendicular cross-section; RING EMISSION must use
+    _shift_end_corners instead — see that docstring.)"""
     pt = interpolate_along(xy, trim)
     # tangent at trim
     cl = cumulative_lengths(xy)
@@ -314,12 +317,38 @@ def _end_cap_corners(xy: np.ndarray, trim: float, width: float):
     return pt + perp * width / 2.0, pt - perp * width / 2.0, pt, t
 
 
+def _trimmed_center_away(xy: np.ndarray, trim: float) -> np.ndarray:
+    """The center polyline after applying ``trim`` at the junction end
+    (away frame). Negative trim extends past the original end along the
+    first segment (terminus.rs:20-29, on_off_ramp.rs:143-155)."""
+    length = polyline_length(xy)
+    if trim < 0:
+        return extend_to_length(xy[::-1], length - trim)[::-1]
+    if trim > 0:
+        return slice_between(xy, min(trim, length - 0.01), length)
+    return xy
+
+
+def _shift_end_corners(center_away: np.ndarray, width: float):
+    """(right-of-away, left-of-away) corner points at the junction end:
+    the ENDPOINTS of the whole shifted polylines, NOT perpendicular
+    offsets of the end point. A miter at a bend near the end slants the
+    cap — exactly the reference's shift_left/right().last_pt()
+    (degenerate.rs:40-45, terminus.rs:41-53, on_off_ramp.rs:160-171;
+    measured: bristol node 4740760678's golden quad has a 1.6 m slanted
+    cap that a perpendicular cross-section misses)."""
+    half = max(width, 0.5) / 2.0
+    return (shift_polyline(center_away, half)[0],
+            shift_polyline(center_away, -half)[0])
+
+
 def terminus_geometry(xy: np.ndarray, width: float,
                       is_map_edge: bool) -> tuple[float, np.ndarray]:
     """geometry/terminus.rs:8-64 → (trim_m, ring). ``xy`` points away
     from the intersection. MapEdges extend short roads to 3×width
     before trimming width off (a negative net trim = extension);
-    dead-ends trim width (or 0.4×length when short)."""
+    dead-ends trim width (or 0.4×length when short). Ring corners are
+    shifted-polyline endpoints (see _shift_end_corners)."""
     w = max(width, 1.0)
     length = polyline_length(xy)
     if is_map_edge:
@@ -335,11 +364,12 @@ def terminus_geometry(xy: np.ndarray, width: float,
         # extend backward past the original end (terminus.rs:20-29);
         # on the extended line the cap spans [0, w]
         pl = extend_to_length(xy[::-1], eff_len)[::-1]
-        c_r, c_l, _, _ = _end_cap_corners(pl, w, w)
-        b_r, b_l, _, _ = _end_cap_corners(pl, 0.0, w)
+        c_r, c_l = _shift_end_corners(_trimmed_center_away(pl, w), w)
+        b_r, b_l = _shift_end_corners(pl, w)
     else:
-        c_r, c_l, _, _ = _end_cap_corners(xy, trim, w)
-        b_r, b_l, _, _ = _end_cap_corners(xy, max(trim - cap, 0.0), w)
+        c_r, c_l = _shift_end_corners(_trimmed_center_away(xy, trim), w)
+        b_r, b_l = _shift_end_corners(
+            _trimmed_center_away(xy, max(trim - cap, 0.0)), w)
     ring = np.array([c_r, c_l, b_l, b_r, c_r])
     return float(trim), ring
 
@@ -368,13 +398,65 @@ def _trimmed_edges(roads_cw: list[dict], trims: dict,
     return out
 
 
+def _node_point(roads_cw: list[dict]) -> np.ndarray:
+    """The junction's node position: the shared endpoint of the incident
+    untrimmed centers. The reference's geometry-failure fallback circles
+    are anchored at roads[0].reference_line's endpoint at the junction
+    (operations/update_geometry.rs Err branch) — the raw node for
+    unshifted roads. Placement-shifted centers may not coincide exactly;
+    take the most common endpoint."""
+    pts = [tuple(np.round(np.asarray(r["xy"][0], dtype=float), 6))
+           for r in roads_cw]
+    best = max(sorted(set(pts)), key=pts.count)
+    return np.asarray(best, dtype=float)
+
+
+def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
+    """Close + clean the emitted ring, mirroring Ring::deduping_new →
+    Ring::new (geometry/mod.rs:228) + the caller's failure fallback:
+
+      * adjacent vertices within 1 cm fold into one (keep-first) — the
+        reference's corner hits and re-shifted edge endpoints coincide
+        EXACTLY on its 0.1 mm-quantized grid, while our unquantized
+        arithmetic leaves them ~mm apart (measured: northgate node
+        9812120028, endpoint 9.5 mm from its corner hit, golden keeps
+        only the corner);
+      * a ring with NON-adjacent BIT-EXACT duplicate vertices is the
+        pinched/bowtie shape Ring::new rejects ("duplicate points") —
+        the reference then keeps the node-anchored 3 m / 60-point
+        fallback circle (byte-visible in the leeds_cycleway golden).
+        Exact equality is the right mirror: on the reference's
+        quantized grid only vertices derived from the IDENTICAL
+        computation collide exactly; an endpoint and a corner hit that
+        merely land close (1e-14 here) differ by a quantum there and
+        the ring survives (measured: leeds triggers are bit-exact
+        dups and golden circles; arizona near-dups at 4e-14 keep
+        their golden polygons)."""
+    ring = np.array(endpts + [endpts[0]])
+    ring = dedupe_consecutive(ring, 0.01)
+    if len(ring) >= 4:
+        n = len(ring)
+        exact_dup = False
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue
+                if ring[i][0] == ring[j][0] and ring[i][1] == ring[j][1]:
+                    exact_dup = True
+                    break
+            if exact_dup:
+                break
+        if exact_dup:
+            return circle_ring(_node_point(roads_cw), 3.0)
+        return ring
+    return circle_ring(_node_point(roads_cw), 3.0)
+
+
 def _cap_corners_ext(xy: np.ndarray, trim: float, width: float):
-    """End-cap corners honouring a negative trim (extension past the
-    original end — ramp 'other thick' roads, on_off_ramp.rs:143-155)."""
-    if trim < 0:
-        pl = extend_to_length(xy[::-1], polyline_length(xy) - trim)[::-1]
-        return _end_cap_corners(pl, 0.0, width)
-    return _end_cap_corners(xy, trim, width)
+    """Shifted-endpoint cap corners honouring a negative trim (extension
+    past the original end — ramp 'other thick' roads,
+    on_off_ramp.rs:143-155). → (right-of-away, left-of-away)."""
+    return _shift_end_corners(_trimmed_center_away(xy, trim), width)
 
 
 def intersection_polygon(roads_cw: list[dict], trims: dict,
@@ -393,36 +475,34 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
         r = roads_cw[0]
         w = max(r["width"], 1.0)
         trim = trims.get(r["key"], 0.0)
-        c_r, c_l, pt, t = _end_cap_corners(r["xy"], trim, w)
-        b_r, b_l, _, _ = _end_cap_corners(r["xy"], max(trim - w, 0.0), w)
+        c_r, c_l = _shift_end_corners(_trimmed_center_away(r["xy"], trim), w)
+        b_r, b_l = _shift_end_corners(
+            _trimmed_center_away(r["xy"], max(trim - w, 0.0)), w)
         return np.array([c_r, c_l, b_l, b_r, c_r])
     if len(roads_cw) == 2:
+        if min(polyline_length(r["xy"]) for r in roads_cw) < 0.2:
+            # degenerate.rs:23-26 bails outright on a too-short road —
+            # the caller keeps the node-anchored fallback circle
+            return circle_ring(_node_point(roads_cw), 3.0)
         corners = []
         for r in roads_cw:
             trim = trims.get(r["key"], 0.0)
-            c_r, c_l, _, _ = _end_cap_corners(
-                r["xy"], trim, max(r["width"], 0.5))
+            c_r, c_l = _shift_end_corners(
+                _trimmed_center_away(r["xy"], trim), r["width"])
             corners.append((c_l, c_r))
         (a_l, a_r), (b_l, b_r) = corners
-        ring = np.array([a_l, b_r, b_l, a_r, a_l])
-        ring = dedupe_consecutive(ring)
-        if len(ring) < 4:
-            return circle_ring(np.mean([a_l, a_r, b_l, b_r], axis=0), 3.0)
-        return ring
+        return _ring_or_circle([a_l, b_r, b_l, a_r], roads_cw)
 
     if mode == "ramp":
         # on_off_ramp.rs:158-175: just the 6 endpoints of the final
         # center lines — no corner collisions
         endpts = []
         for r in roads_cw:
-            c_r, c_l, _, _ = _cap_corners_ext(
-                r["xy"], trims.get(r["key"], 0.0), max(r["width"], 0.5))
+            c_r, c_l = _cap_corners_ext(
+                r["xy"], trims.get(r["key"], 0.0), r["width"])
             endpts.append(c_l)
             endpts.append(c_r)
-        ring = dedupe_consecutive(np.array(endpts + [endpts[0]]))
-        if len(ring) < 4:
-            return circle_ring(np.mean(np.array(endpts), axis=0), 3.0)
-        return ring
+        return _ring_or_circle(endpts, roads_cw)
 
     edges = _trimmed_edges(roads_cw, trims, edges_full)
     edges.append(edges[0])
@@ -444,15 +524,20 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
             exts.append((pl, add, cur))
         hit = first_intersection(exts[0][0], exts[1][0])
         if hit is not None:
-            pt, da, _ = hit
+            pt, da, db = hit
             d_on_trimmed = da - exts[0][1]
-            if d_on_trimmed <= exts[0][2] / 2.0:
+            # Near-parallel FACING edges (sausage links, dual-carriageway
+            # connections): the "corner" lands within ~1 cm of the tip of
+            # the re-extended edges, inside the junction face — the
+            # reference's quantized segment-crossing test rejects those
+            # hits (goldens show a straight face there; sensitivity to
+            # the 0.1 mm grid is ~100x at these angles, so the hit falls
+            # off-segment), while a true corner sits >= the corner pair's
+            # trim depth from the tip.
+            not_tip = min(da, db) >= 0.01
+            if not_tip and d_on_trimmed <= exts[0][2] / 2.0:
                 endpts.append(np.asarray(pt, dtype=float))
-    ring = np.array(endpts + [endpts[0]])
-    ring = dedupe_consecutive(ring)
-    if len(ring) < 4:  # fallback: reference's 3 m circle (intersection.rs:208)
-        return circle_ring(np.mean(np.array(endpts), axis=0), 3.0)
-    return ring
+    return _ring_or_circle(endpts, roads_cw)
 
 
 # ---------------------------------------------------------------------------

@@ -205,9 +205,16 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
                "shared", "share_busway", "opposite_share_busway"):
         return None, []
     kind = "track" if val in ("track", "opposite_track") else "lane"
+    side_oneway = tags.get(f"cycleway:{side}:oneway")
+    if side_oneway == "-1":
+        # explicit per-side contraflow: ONE lane running against the
+        # way (oneway_loop way 392134508: cycleway:right:oneway=-1 +
+        # oneway:bicycle=no renders 7.7 m = s|db|s, a single backward
+        # bike lane — the blanket oneway:bicycle=no must not double it)
+        return kind, [BACK]
     twoway = (
-        tags.get(f"cycleway:{side}:oneway") == "no"
-        or tags.get("oneway:bicycle") == "no"
+        side_oneway == "no"
+        or (side_oneway is None and tags.get("oneway:bicycle") == "no")
     )
     if twoway:
         return kind, [BACK, FWD]
@@ -261,9 +268,12 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     # --- standalone non-road types -------------------------------------
     specs: list[LaneSpec] | None = None
     if railway in ("light_rail", "rail") and hw == "":
+        # ONE track lane regardless of oneway/tracks: the oneway_loop
+        # golden's railway=rail tracks=4 (no oneway) ways render 3.0 m
+        # wide and their MapEdge terminus squares are 3.0 m — a single
+        # LightRail lane (muv ranks Train→LightRail; it does not
+        # double bidirectional rail)
         specs = [LaneSpec(LIGHT_RAIL, FWD, default_width(LIGHT_RAIL, "", hw))]
-        if tags.get("oneway") != "yes":
-            specs = [LaneSpec(LIGHT_RAIL, BACK, specs[0].width)] + specs
     elif hw in ("footway", "pedestrian", "steps"):
         # a separately-mapped sidewalk is a SIDEWALK lane, not a footway
         # (osm2lanes algorithm.rs:279-285: sidepath footways become
@@ -575,10 +585,22 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     park_left = parking("left")
     park_right = parking("right")
 
-    sidewalk = infer_sidewalk_tag(tags, driving_side) if inferred_sidewalks \
-        else tags.get("sidewalk")
-    sw_left = sidewalk in ("both", "left")
-    sw_right = sidewalk in ("both", "right")
+    if inferred_sidewalks:
+        sidewalk = infer_sidewalk_tag(tags, driving_side)
+        sw_left = sidewalk in ("both", "left")
+        sw_right = sidewalk in ("both", "right")
+    else:
+        # EXPLICIT sidewalk tags always apply — muv reads sidewalk[:side]
+        # natively; only the INFERENCE step is gated by the config
+        # (algorithm.rs:29-34 clones tags through infer_sidewalk_tags
+        # only when cfg.inferred_sidewalks). Measured: bristol way
+        # 291394487 sidewalk:left=yes renders 4.6 m wide (d 3.0 +
+        # sidewalk 1.5 + kerb) under MapConfig::default.
+        sidewalk = tags.get("sidewalk")
+        sw_left = sidewalk in ("both", "left") or "yes" in (
+            tags.get("sidewalk:left"), tags.get("sidewalk:both"))
+        sw_right = sidewalk in ("both", "right") or "yes" in (
+            tags.get("sidewalk:right"), tags.get("sidewalk:both"))
     w_sw = default_width(SIDEWALK, "", hw)
 
     shoulder = tags.get("shoulder")

@@ -38,7 +38,7 @@ from ..geom.intersection_kernel import (
     movements_and_kind, terminus_geometry, _cw_edges,
 )
 
-M_PER_DEG = 111_319.490793
+M_PER_DEG = 111_194.92664455873
 
 
 # ---------------------------------------------------------------------------

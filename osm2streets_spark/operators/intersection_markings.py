@@ -56,7 +56,7 @@ def crossing_markings_row(raw, kind, lo, la) -> list[str]:
                 feats.append(json.dumps({
                     "type": "Feature",
                     "geometry": {"type": "LineString", "coordinates": [
-                        [round(float(x), 7), round(float(y), 7)]
+                        [round(float(x), 9), round(float(y), 9)]
                         for x, y in ll]},
                     "properties": {"type": "zebra bar"},
                 }, separators=(",", ":")))
@@ -69,7 +69,7 @@ def crossing_markings_row(raw, kind, lo, la) -> list[str]:
                 feats.append(json.dumps({
                     "type": "Feature",
                     "geometry": {"type": "LineString", "coordinates": [
-                        [round(float(x), 7), round(float(y), 7)]
+                        [round(float(x), 9), round(float(y), 9)]
                         for x, y in ll]},
                     "properties": {"type": "crossing edge"},
                 }, separators=(",", ":")))
@@ -162,7 +162,7 @@ def render_sidewalk_corners(roads_final: DataFrame,
                     feat = json.dumps({
                         "type": "Feature",
                         "geometry": {"type": "Polygon", "coordinates": [[
-                            [round(float(x), 7), round(float(y), 7)]
+                            [round(float(x), 9), round(float(y), 9)]
                             for x, y in ll]]},
                         "properties": {"type": "sidewalk corner"},
                     }, separators=(",", ":"))

@@ -35,7 +35,7 @@ HATCH_LEG = 1.0              # lane_markings.rs:261 leg_length
 
 def _linestring_feature(pl, lon0, lat0, props):
     ll = xy_to_lonlat(pl, lon0, lat0)
-    coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+    coords = [[round(float(x), 9), round(float(y), 9)] for x, y in ll]
     return json.dumps({
         "type": "Feature",
         "geometry": {"type": "LineString", "coordinates": coords},
@@ -48,8 +48,8 @@ def _point_feature(pt, lon0, lat0, props):
     return json.dumps({
         "type": "Feature",
         "geometry": {"type": "Point",
-                     "coordinates": [round(float(ll[0]), 7),
-                                     round(float(ll[1]), 7)]},
+                     "coordinates": [round(float(ll[0]), 9),
+                                     round(float(ll[1]), 9)]},
         "properties": props,
     }, separators=(",", ":"))
 

@@ -97,7 +97,7 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame,
                     g.groupby(["way_id", "role"], sort=False),
                     key=lambda t: t[0][0]):
                 wg = wg.sort_values("pos")
-                pts = [[round(float(a), 7), round(float(b), 7)]
+                pts = [[round(float(a), 9), round(float(b), 9)]
                        for a, b in zip(wg["lon"], wg["lat"])]
                 way_pts.append((pts, role))
             rings = assemble_rings(way_pts)

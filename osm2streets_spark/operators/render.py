@@ -42,7 +42,7 @@ def _road_feature(center_xy: pd.Series, total_width: pd.Series,
         pl = np.asarray(raw, dtype=float).reshape(-1, 2)
         ring = thicken_polyline(pl, float(w))
         ll = xy_to_lonlat(ring, lo, la)
-        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        coords = [[round(float(x), 9), round(float(y), 9)] for x, y in ll]
         feat = {
             "type": "Feature",
             "geometry": {"type": "Polygon", "coordinates": [coords]},
@@ -62,7 +62,7 @@ def _intersection_feature(polygon_xy: pd.Series, lon0: pd.Series,
     for raw, lo, la, pj in zip(polygon_xy, lon0, lat0, props_json):
         ring = np.asarray(raw, dtype=float).reshape(-1, 2)
         ll = xy_to_lonlat(ring, lo, la)
-        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        coords = [[round(float(x), 9), round(float(y), 9)] for x, y in ll]
         feat = {
             "type": "Feature",
             "geometry": {"type": "Polygon", "coordinates": [coords]},
@@ -144,7 +144,7 @@ def lane_polygons_row(raw, tw, lj, lo, la) -> list[str]:
         lane_center = shift_polyline(pl, offset)
         ring = thicken_polyline(lane_center, w)
         ll = xy_to_lonlat(ring, lo, la)
-        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        coords = [[round(float(x), 9), round(float(y), 9)] for x, y in ll]
         polys.append(json.dumps({
             "type": "Feature",
             "geometry": {"type": "Polygon", "coordinates": [coords]},
@@ -199,7 +199,7 @@ def surfaces_row(raw, tw, lj, lo, la) -> list[str]:
         center = shift_polyline(pl, offset)
         ring = thicken_polyline(center, width)
         ll = xy_to_lonlat(ring, lo, la)
-        coords = [[round(float(x), 7), round(float(y), 7)]
+        coords = [[round(float(x), 9), round(float(y), 9)]
                   for x, y in ll]
         feats.append(json.dumps({
             "type": "Feature",

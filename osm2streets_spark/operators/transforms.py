@@ -687,7 +687,7 @@ def _transform_doc(doc_id: str, pdf: pd.DataFrame,
     return pd.DataFrame(data)
 
 
-M_PER_DEG = 111_319.490793
+M_PER_DEG = 111_194.92664455873
 
 
 def run_transforms(roads: DataFrame,

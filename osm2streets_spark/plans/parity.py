@@ -19,7 +19,7 @@ import json
 import math
 from collections import defaultdict
 
-M_PER_DEG = 111_319.490793
+M_PER_DEG = 111_194.92664455873
 
 
 def _centroid(ring) -> tuple[float, float]:
@@ -79,6 +79,20 @@ def _ring_geom_exact(g_ring, o_ring, tol_m: float = 0.01) -> bool:
         pts = [tuple(p) for p in ring]
         if len(pts) > 1 and pts[0] == pts[-1]:
             pts = pts[:-1]
+        # Fold adjacent vertices closer than tol_m into one (wrap-around
+        # included). The two engines dedupe ring vertices at different
+        # thresholds — the reference keeps points one 0.1 mm quantum
+        # apart (Pt2D exact equality), ours folds float-noise dupes — so
+        # "identical within tol" must compare the folded rings, else a
+        # sub-tolerance bookkeeping vertex fails the whole ring on count.
+        folded = []
+        for p in pts:
+            if folded and _dist_m(p, folded[-1]) <= tol_m:
+                continue
+            folded.append(p)
+        if len(folded) > 1 and _dist_m(folded[0], folded[-1]) <= tol_m:
+            folded.pop()
+        pts = folded
         if not pts:
             return pts
         k = min(range(len(pts)), key=lambda i: pts[i])

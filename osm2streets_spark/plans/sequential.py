@@ -50,7 +50,7 @@ from ..operators.transforms import apply_standard_transforms
 from ..sources.osm_xml import _parse_one_doc
 from ..xxh import xxhash64
 
-M_PER_DEG = 111_319.490793
+M_PER_DEG = 111_194.92664455873
 LANE_KEYS = ("surface", "smoothness", "oneway", "width",
              "est_width", "maxspeed", "tracktype")
 _METRIC_MAXHEIGHT = re.compile(r"^\d+(\.\d+)?\s*m?$")
@@ -149,7 +149,7 @@ def _multipolygon_rows(doc_id: str, nodes: dict, way_rows: list,
                 if nref not in nodes:
                     continue
                 lon, lat, _ = nodes[nref]
-                pts.append([round(float(lon), 7), round(float(lat), 7)])
+                pts.append([round(float(lon), 9), round(float(lat), 9)])
             if k > 1:
                 # a way listed k times joins with k member rows — each
                 # position appears k times (identical values)
@@ -696,7 +696,7 @@ def feature_rows(doc_id: str, roads: list[dict], ints: list[dict],
     def _feat(ring_xy, lon0, lat0, props):
         ll = xy_to_lonlat(np.asarray(ring_xy, float).reshape(-1, 2),
                           lon0, lat0)
-        coords = [[round(float(x), 7), round(float(y), 7)] for x, y in ll]
+        coords = [[round(float(x), 9), round(float(y), 9)] for x, y in ll]
         feat = {"type": "Feature",
                 "geometry": {"type": "Polygon", "coordinates": [coords]},
                 "properties": props}
@@ -850,7 +850,7 @@ def junction_marking_rows(doc_id: str, roads: list[dict],
             fj = json.dumps({
                 "type": "Feature",
                 "geometry": {"type": "Polygon", "coordinates": [[
-                    [round(float(x), 7), round(float(y), 7)]
+                    [round(float(x), 9), round(float(y), 9)]
                     for x, y in ll]]},
                 "properties": {"type": "sidewalk corner"},
             }, separators=(",", ":"))

@@ -50,8 +50,8 @@ def _drop_collinear(ring, tol_m=0.01):
     if len(pts) < 4:
         return pts
     lat0 = pts[0][1]
-    kx = 111_319.490793 * np.cos(np.radians(lat0))
-    ky = 111_319.490793
+    kx = 111_194.92664455873 * np.cos(np.radians(lat0))
+    ky = 111_194.92664455873
     xy = np.array([(p[0] * kx, p[1] * ky) for p in pts])
     keep = []
     n = len(xy)

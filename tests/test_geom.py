@@ -97,8 +97,9 @@ def test_angles_and_projection_roundtrip():
     assert xy[0].tolist() == [0, 0]
     back = xy_to_lonlat(xy, -122.33, 47.61)
     assert np.allclose(back, lonlat)
-    # ~1113 m per 0.01 deg lat
-    assert xy[1, 1] == pytest.approx(1113.19, abs=0.5)
+    # ~1112 m per 0.01 deg lat (haversine R=6371000, the geom crate's
+    # earth radius — measured from the goldens' 0.1 mm grid)
+    assert xy[1, 1] == pytest.approx(1111.95, abs=0.5)
 
 
 def test_step_along():

@@ -160,8 +160,12 @@ def test_standalone_types():
                 "sidewalk=right"], "left") == ("bb|s", "^vvv")
     assert run(["highway=cycleway", "oneway=yes", "segregated=yes",
                 "sidewalk=left"], "left") == ("s|b", "^^^")
+    # one track lane regardless of oneway (oneway_loop golden:
+    # railway=rail tracks=4 renders 3.0 m wide, its MapEdge squares
+    # are 3.0 m — a single LightRail lane)
     lanes, dirs = run(["railway=light_rail"])
-    assert lanes == "ll"
+    assert lanes == "l"
+    assert run(["railway=rail", "tracks=4"])[0] == "l"
 
 
 def test_construction():

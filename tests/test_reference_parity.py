@@ -61,6 +61,34 @@ def test_parity_sweep_artifact_gate():
     assert len(tight) >= 20, f"only {len(tight)} areas meet the bar"
 
 
+def test_parity_byte_exactness_ratchet():
+    """Round-6 ratchet (round-5 verdict ask #6): ring-level byte
+    exactness (1 cm/vertex after canonicalization) must stay at or
+    above the level reached this round — >= 20 of 30 areas with >= 80 %
+    of matched intersections ring-exact, and >= 82 % ring-exact
+    overall. Reached via: the geom crate's haversine meters-per-degree
+    (measured off the goldens' 0.1 mm quantization grid), shifted-
+    polyline cap corners, Ring::deduping_new emission mirroring, the
+    node-anchored 60-pt fallback circle, and full-precision GeoJSON
+    output (our former 1e-7-deg rounding amplified ~0.5 cm residuals
+    across the 1 cm gate)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "FIXTURES_PARITY.json")
+    d = json.load(open(path))
+    frac = {a: m["int_geom_exact"] / max(m["int_matched"], 1)
+            for a, m in d.items()}
+    areas80 = [a for a, f in frac.items() if f >= 0.8]
+    assert len(areas80) >= 20, (
+        f"only {len(areas80)} areas >= 80% ring-exact: "
+        f"{sorted((round(f, 3), a) for a, f in frac.items())[:8]}")
+    tot_ex = sum(m["int_geom_exact"] for m in d.values())
+    tot = sum(m["int_matched"] for m in d.values())
+    assert tot_ex / tot >= 0.82, f"overall exact {tot_ex}/{tot}"
+
+
 def test_span_sequence_passthrough(spark):
     """north_rule per-row invariant on REAL payloads: the output
     document table preserves the input span sequence exactly."""

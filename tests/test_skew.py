@@ -18,24 +18,25 @@ def dense_net(spark, fixture_dir):
 
 
 def test_starburst_hub(dense_net):
-    # With exact pass-1 trims, 12 of the 60 spokes are trim-annihilated
+    # With exact pass-1 trims, 11 of the 60 spokes are trim-annihilated
     # at the degree-60 hub (adjacent spokes ~6 deg apart -> facing-edge
     # trims ~ w/sin(6 deg) exceed spoke length) and collapse, exactly as
-    # the reference does (update_geometry.rs:58-63 -> collapse). 48
-    # spokes survive; their outer termini remain.
+    # the reference does (update_geometry.rs:58-63 -> collapse). 49
+    # spokes survive; their outer termini remain. (r6: the haversine
+    # M_PER_DEG flipped one borderline spoke's annihilation margin.)
     ints = dense_net["intersections"].collect()
-    assert len(ints) == 49  # hub + 48 surviving spoke termini
+    assert len(ints) == 50  # hub + 49 surviving spoke termini
     hub = [i for i in ints if i.kind == "Intersection"]
     assert len(hub) == 1
     movements = json.loads(hub[0].movements_json)
-    assert len(movements) == 48 * 47
+    assert len(movements) == 49 * 48
     termini = [i for i in ints if i.kind == "Terminus"]
-    assert len(termini) == 48
+    assert len(termini) == 49
 
 
 def test_starburst_roads_render(dense_net):
     feats = dense_net["features"]
-    assert feats.where(F.col("feature_type") == "road").count() == 48
+    assert feats.where(F.col("feature_type") == "road").count() == 49
     # every feature lands in exactly one tile cell
     assert feats.where(F.col("quadkey").isNull()).count() == 0
 
