@@ -352,21 +352,22 @@ def terminus_geometry(xy: np.ndarray, width: float,
     w = max(width, 1.0)
     length = polyline_length(xy)
     if is_map_edge:
+        # terminus.rs:17-31: a MapEdge road shorter than 3*w is ALWAYS
+        # extended to 3*w first, and the square spans [extended tip,
+        # extended tip + w] — even when the net trim on the ORIGINAL
+        # length is positive (2w < len < 3w), so the square can poke
+        # past the clip boundary (arizona golden: outer edge 7.3 m
+        # beyond the clip node, depth exactly w). Only the ring uses
+        # the extended line; the recorded trim stays relative to the
+        # original center, which the center rebuild consumes.
         eff_len = max(length, 3.0 * w)
         trim = length - eff_len + w
-        cap = w
-    else:
-        if length > w + 1.0:
-            trim = cap = w
-        else:
-            trim = cap = 0.4 * length
-    if trim < 0:
-        # extend backward past the original end (terminus.rs:20-29);
-        # on the extended line the cap spans [0, w]
-        pl = extend_to_length(xy[::-1], eff_len)[::-1]
+        pl = (extend_to_length(xy[::-1], eff_len)[::-1]
+              if eff_len > length else xy)
         c_r, c_l = _shift_end_corners(_trimmed_center_away(pl, w), w)
         b_r, b_l = _shift_end_corners(pl, w)
     else:
+        trim = cap = w if length > w + 1.0 else 0.4 * length
         c_r, c_l = _shift_end_corners(_trimmed_center_away(xy, trim), w)
         b_r, b_l = _shift_end_corners(
             _trimmed_center_away(xy, max(trim - cap, 0.0)), w)

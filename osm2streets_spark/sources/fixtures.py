@@ -38,12 +38,13 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v28"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
+GEN_VERSION = "v29"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
 # geom crate's haversine R=6371000 (m/deg 111194.9266…), ring emission
 # mirrors Ring::deduping_new + the node-anchored 60-pt fallback circle,
 # caps are shifted-polyline endpoints, rail=1 lane, explicit
 # sidewalk:left/right honored, cycleway:side:oneway=-1, coordinates at
-# 9 decimals — gt_* geometry twins change accordingly. (v26: geojson://
+# 9 decimals, MapEdge squares always extend to 3w (terminus.rs:17-31)
+# — gt_* geometry twins change accordingly. (v26: geojson://
 # real payloads + gt_debug_steps.)
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
