@@ -98,12 +98,14 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       the span: REAL parse — width = total coordinate positions,
       height = feature count, n_frames = 1 (a static vector layer),
       and a 16-dim real geometry-statistics feature (_geojson_feature).
-    * tile:// refs are opaque handles into an external tile store;
-      with no store in this container their decode is a DETERMINISTIC
-      FAKE (dims/frame-count/feature from the ref's first-8-byte
-      int64) so the frame-sampling pipeline stays exactly
-      SQL-checkable. (geojson refs whose span predates the payloaded
-      fixtures fall back to the same fake.)
+    * tile:// refs resolved against the external tile store (the
+      tile_b64/tile_frames columns joined in by decode_media) decode
+      the fetched PNG for REAL — header dims + pixel-statistics
+      feature — with the store's frame-count metadata.
+    * refs with NO payload and no store row (older fixture dirs, or a
+      ref missing from the store) fall back to a DETERMINISTIC FAKE
+      (dims/frame-count/feature from the ref's first-8-byte int64) so
+      the frame-sampling pipeline stays exactly SQL-checkable.
     """
     import base64
     import json
@@ -115,8 +117,20 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         payloads = pdf["payload_b64"] if "payload_b64" in pdf.columns \
             else pd.Series([None] * len(pdf))
-        for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
-                                        payloads):
+        tile_b64 = pdf["tile_b64"] if "tile_b64" in pdf.columns \
+            else pd.Series([None] * len(pdf))
+        tile_frames = pdf["tile_frames"] if "tile_frames" in pdf.columns \
+            else pd.Series([None] * len(pdf))
+        for doc_id, ref, payload, tb64, tfr in zip(
+                pdf["doc_id"], pdf["media_ref"], payloads,
+                tile_b64, tile_frames):
+            if isinstance(tb64, str) and tb64 \
+                    and ref.startswith("tile://"):
+                w, h, px = decode_png(base64.b64decode(tb64))
+                nfr = int(tfr) if pd.notna(tfr) else 1
+                rows.append((doc_id, ref, int(w), int(h), nfr,
+                             bmp_feature(px)))
+                continue
             if isinstance(payload, str) and payload \
                     and ref.startswith(("bmp://", "png://")):
                 decode = decode_png if ref.startswith("png://") \
@@ -148,15 +162,44 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """Decode/feature-extract media refs (real BMP path + deterministic
-    fake for opaque refs — see _decode_batch). Repartitioned by doc so
-    decode work spreads evenly regardless of how many media spans a
-    single document carries."""
+def load_tile_store(spark, sf_dir: str) -> DataFrame | None:
+    """The external tile store: (z, x, y, png_b64, n_frames) — real PNG
+    rasters keyed by tile address. Returns None when the corpus carries
+    no store (older fixture dirs)."""
+    import os
+
+    path = os.path.join(sf_dir, "tile_store.parquet")
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def decode_media(media: DataFrame,
+                 tile_store: DataFrame | None = None) -> DataFrame:
+    """Decode/feature-extract media refs — see _decode_batch.
+
+    tile:// refs resolve against the EXTERNAL tile store by an
+    (z, x, y) equi-join — the 100 TB shape for media blobs (the store
+    is its own table, potentially huge; Catalyst/AQE picks the join
+    strategy). The fetched PNG bytes then take the same real decode
+    path as inline png:// payloads; per-tile frame-count metadata
+    rides along from the store. Repartitioned by doc so decode work
+    spreads evenly regardless of how many media spans a single
+    document carries."""
     cols = ["doc_id", "media_ref"]
     if "payload_b64" in media.columns:
         cols.append("payload_b64")
-    return media.select(*cols) \
+    sel = media.select(*cols, "ref_z", "ref_x", "ref_y") \
+        if tile_store is not None else media.select(*cols)
+    if tile_store is not None:
+        store = tile_store.select(
+            F.col("z").alias("ref_z"), F.col("x").alias("ref_x"),
+            F.col("y").alias("ref_y"),
+            F.col("png_b64").alias("tile_b64"),
+            F.col("n_frames").alias("tile_frames"))
+        sel = sel.join(store, ["ref_z", "ref_x", "ref_y"], "left") \
+            .drop("ref_z", "ref_x", "ref_y")
+    return sel \
         .repartition("doc_id") \
         .mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
 

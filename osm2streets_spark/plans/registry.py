@@ -577,7 +577,8 @@ def queries() -> Q:
     def mm_media_decode(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         media = multimodal.media_spans(docs)
-        dec = multimodal.decode_media(media)
+        store = multimodal.load_tile_store(spark, fixture_dir_for(sf_dir))
+        dec = multimodal.decode_media(media, tile_store=store)
         # width/height in the projection so the REAL bmp decode (header
         # dims) is oracle-checked, not just the frame sampling
         fs = dec.select(
@@ -982,10 +983,14 @@ def oracle_sql() -> dict[str, str]:
       select doc_id, src_i, dst_i, dist_m
       from read_parquet('{fix}/gt_dists.parquet')
     """
-    # mm_media_decode: the decode stub is a DETERMINISTIC FAKE (build
-    # brief: no codec libs in the container) — dims/frame count derive
-    # from the little-endian int64 of the ref's first 8 bytes, so the
-    # whole frame-sampling pipeline has an exact SQL twin.
+    # mm_media_decode: every fixture ref now decodes REAL bytes —
+    # bmp://, png://, geojson:// carry inline payloads; tile:// refs
+    # resolve against tile_store.parquet by (z, x, y) equi-join and the
+    # fetched PNG is parsed for real. gt_media carries the true dims
+    # for ALL rows, written by the generator from the same payloads it
+    # encoded. The first-8-byte-int64 branch remains only as the
+    # documented fallback twin for refs with no payload AND no store
+    # row (none in current fixtures).
     h_expr = " + ".join(
         f"(case when length(m.media_ref) > {i} then "
         f"ascii(substring(m.media_ref, {i + 1}, 1)) else 0 end)"

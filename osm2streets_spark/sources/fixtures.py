@@ -38,13 +38,14 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v29"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
+GEN_VERSION = "v30"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
 # geom crate's haversine R=6371000 (m/deg 111194.9266…), ring emission
 # mirrors Ring::deduping_new + the node-anchored 60-pt fallback circle,
 # caps are shifted-polyline endpoints, rail=1 lane, explicit
 # sidewalk:left/right honored, cycleway:side:oneway=-1, coordinates at
 # 9 decimals, MapEdge squares always extend to 3w (terminus.rs:17-31)
-# — gt_* geometry twins change accordingly. (v26: geojson://
+# — gt_* geometry twins change accordingly. v30: tile:// refs resolve
+# against a real PNG tile_store.parquet (z,x,y) with gt_media rows. (v26: geojson://
 # real payloads + gt_debug_steps.)
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
@@ -528,9 +529,18 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
     part2 = "".join(node_xml[half:]) + "".join(way_xml) + "".join(rel_xml)
     tx, ty = _slippy_tile(lon0, lat0, 14)
     gj_span, gj_gt = _geojson_span(doc_id, gt_node_src, gt_way_src, 3)
+    # the tile ref is an EXTERNAL-STORE handle: the raster lives in
+    # tile_store.parquet keyed (z, x, y) — the 100 TB shape for media
+    # blobs (a second table joined by key), not an inline payload
+    tile_ref = f"tile://14/{tx}/{ty}.pbf"
+    tile_store_row = _tile_store_row(14, tx, ty)
+    tile_gt = {"doc_id": doc_id, "media_ref": tile_ref,
+               "width": tile_store_row["width"],
+               "height": tile_store_row["height"],
+               "n_frames": tile_store_row["n_frames"]}
     spans = [
         {"kind": "osm_xml", "text": part1, "media_ref": "", "offset": 0},
-        {"kind": "media", "text": "", "media_ref": f"tile://14/{tx}/{ty}.pbf",
+        {"kind": "media", "text": "", "media_ref": tile_ref,
          "offset": 1},
         {"kind": "osm_xml", "text": part2, "media_ref": "", "offset": 2},
         gj_span,
@@ -549,7 +559,8 @@ def build_document(doc_idx: int, seed: int = 42, heavy: bool = False):
     media_span, media_gt = _media_span(doc_id, len(spans))
     spans.append(media_span)
     doc_row = {"doc_id": doc_id, "spans": spans}
-    return doc_row, gt_nodes, gt_ways, gt_rels, [media_gt, gj_gt]
+    return (doc_row, gt_nodes, gt_ways, gt_rels,
+            [media_gt, gj_gt, tile_gt], tile_store_row)
 
 
 def _geojson_span(doc_id: str, node_src: dict, way_src: list, offset: int):
@@ -612,6 +623,34 @@ def _media_span(doc_id: str, offset: int):
     return span, gt
 
 
+def _tile_store_row(z: int, x: int, y: int) -> dict:
+    """One external-tile-store row: a REAL 8-bit RGB PNG raster whose
+    pixels derive deterministically from the tile key, plus frame-count
+    metadata (the store's stand-in for an animated/temporal tile layer,
+    so the frame-sampling pipeline keeps multi-frame coverage with real
+    store data). decode_media joins the store on (z, x, y) and parses
+    the PNG with sources/png.py — no fake left on this path."""
+    import base64
+
+    import numpy as np
+
+    from .png import encode_png
+
+    h = abs(xxhash64(f"{z}/{x}/{y}", 1))
+    w = 8 + (h % 3) * 8          # 8 / 16 / 24 px
+    ht = 8 + ((h >> 2) % 3) * 8
+    yy, xx = np.mgrid[0:ht, 0:w]
+    px = np.stack([
+        ((xx * 7 + z * 31) % 256).astype(np.uint8),
+        ((yy * 11 + x % 97) % 256).astype(np.uint8),
+        np.full((ht, w), (y * 13) % 256, dtype=np.uint8),
+    ], axis=-1)
+    return {"z": int(z), "x": int(x), "y": int(y),
+            "png_b64": base64.b64encode(encode_png(px)).decode("ascii"),
+            "width": int(w), "height": int(ht),
+            "n_frames": int(1 + h % 16)}
+
+
 SPAN_TYPE = pa.list_(pa.struct([
     ("kind", pa.string()), ("text", pa.string()),
     ("media_ref", pa.string()), ("offset", pa.int32()),
@@ -624,14 +663,16 @@ MEMBER_TYPE = pa.list_(pa.struct([
 
 def generate(n_docs: int, seed: int = 42, heavy: bool = False):
     docs, nodes, ways, rels, media = [], [], [], [], []
+    tiles: dict[tuple, dict] = {}   # dedupe store rows by (z, x, y)
     for i in range(n_docs):
-        d, n, w, r, m = build_document(i, seed, heavy)
+        d, n, w, r, m, ts = build_document(i, seed, heavy)
         docs.append(d)
         nodes.extend(n)
         ways.extend(w)
         rels.extend(r)
         media.extend(m)
-    return docs, nodes, ways, rels, media
+        tiles[(ts["z"], ts["x"], ts["y"])] = ts
+    return docs, nodes, ways, rels, media, list(tiles.values())
 
 
 def _write_debug_steps(out_dir: str, dbg_rows: list[dict]) -> str:
@@ -692,7 +733,7 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         shutil.rmtree(out_dir)
     n_docs = SF_DOCS.get(sf_name, 19)
     os.makedirs(out_dir, exist_ok=True)
-    docs, nodes, ways, rels, media = generate(
+    docs, nodes, ways, rels, media, tiles = generate(
         n_docs, heavy=sf_name.startswith("sf_scale"))
     pq.write_table(
         pa.table({
@@ -705,6 +746,19 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
                                  pa.int32()),
         }),
         os.path.join(out_dir, "gt_media.parquet"),
+    )
+    # the external tile store: real PNG rasters keyed (z, x, y) —
+    # decode_media resolves tile:// refs against it with an equi-join
+    pq.write_table(
+        pa.table({
+            "z": pa.array([t["z"] for t in tiles], pa.int32()),
+            "x": pa.array([t["x"] for t in tiles], pa.int32()),
+            "y": pa.array([t["y"] for t in tiles], pa.int32()),
+            "png_b64": pa.array([t["png_b64"] for t in tiles], pa.string()),
+            "n_frames": pa.array([t["n_frames"] for t in tiles],
+                                 pa.int32()),
+        }),
+        os.path.join(out_dir, "tile_store.parquet"),
     )
 
     doc_table = pa.table({

@@ -143,3 +143,38 @@ def test_geojson_real_decode_path():
     assert abs(r.feature[1] - 10.002) < 1e-6   # lon max
     assert r.feature[8] == 2.0                 # n features
     assert r.feature[9] == 5.0                 # n coords
+
+
+def test_tile_store_real_decode(spark, fixture_dir):
+    """tile:// refs resolve against the external tile_store.parquet by
+    (z, x, y) equi-join and the fetched PNG decodes for REAL — header
+    dims match the generator's gt row for every tile ref in the
+    corpus; the store's frame-count metadata rides along."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from osm2streets_spark.operators.multimodal import (
+        decode_media, load_tile_store, media_spans)
+
+    docs = spark.read.parquet(os.path.join(fixture_dir,
+                                           "documents.parquet"))
+    store = load_tile_store(spark, fixture_dir)
+    assert store is not None and store.count() > 0
+    media = media_spans(docs).where(
+        F.col("media_ref").startswith("tile://"))
+    dec = decode_media(media, tile_store=store).toPandas()
+    gt = pq.read_table(os.path.join(fixture_dir, "gt_media.parquet")) \
+        .to_pandas()
+    gt = gt[gt.media_ref.str.startswith("tile://")]
+    assert len(dec) == len(gt) > 0
+    merged = dec.merge(gt, on=["doc_id", "media_ref"],
+                       suffixes=("", "_gt"))
+    assert len(merged) == len(gt)
+    assert (merged.width == merged.width_gt).all()
+    assert (merged.height == merged.height_gt).all()
+    assert (merged.n_frames == merged.n_frames_gt).all()
+    # dims come from real PNG headers: the fixture tiles are 8-24 px
+    assert merged.width.between(8, 24).all()
