@@ -420,6 +420,14 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         (tags.get("busway:left", _busway if _busway else None) == "lane")
         + (tags.get("busway:right", _busway if _busway else None)
            == "lane"))
+    if (_n_bus == 2 and (oneway or reverse_oneway)
+            and tags.get("busway") == "lane"
+            and not tags.get("busway:both")
+            and not tags.get("busway:left")
+            and not tags.get("busway:right")):
+        # bare busway=lane on a oneway is a SINGLE kerb-side lane (see
+        # the assembly-side rule below) — keep the count consistent
+        _n_bus = 1
     n_fwd = n_back = 0
     if oneway:
         if tags.get("lanes:forward", "").isdigit():
@@ -455,6 +463,15 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     for d in ("forward", "backward"):
         for k in _LANE_LIST_KEYS:
             v = tags.get(f"{k}:lanes:{d}")
+            if v is None and (
+                    (d == "forward" and oneway)
+                    or (d == "backward" and reverse_oneway)):
+                # the BARE `<key>:lanes` list (no direction suffix) is
+                # how oneway roads tag per-lane values — taipei golden
+                # way 306251259: bus:lanes=designated||| on a oneway
+                # lanes=4 renders 12.048 m = one 3.048 m bus lane +
+                # three driving lanes
+                v = tags.get(f"{k}:lanes")
             if v:
                 parts = v.split("|")
                 lane_lists.setdefault(d, [""] * len(parts))
@@ -527,6 +544,25 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     busway = tags.get("busway:both") or tags.get("busway")
     bus_left = tags.get("busway:left", busway if busway else None) == "lane"
     bus_right = tags.get("busway:right", busway if busway else None) == "lane"
+    # the BARE busway=lane on a ONEWAY street adds a single kerb-side
+    # lane, like the bare-cycleway rule below: muv expands the plain
+    # tag to both sides only on two-way roads (st_georges golden way
+    # 207816746: oneway LHT trunk, busway=lane + lanes=4, renders
+    # 12.048 m = ONE 3.048 m bus lane + three 3.0 m driving lanes —
+    # our former both-sides reading measured 12.096)
+    if (tags.get("busway") == "lane" and not tags.get("busway:both")
+            and not tags.get("busway:left")
+            and not tags.get("busway:right")):
+        if oneway:
+            if driving_side == "right":
+                bus_left = False
+            else:
+                bus_right = False
+        elif reverse_oneway:
+            if driving_side == "right":
+                bus_right = False
+            else:
+                bus_left = False
 
     # side defaults: for a two-way street (RHT) the left side travels
     # backward; mirrored for LHT

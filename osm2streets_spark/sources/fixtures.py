@@ -38,14 +38,16 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v30"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
+GEN_VERSION = "v31"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
 # geom crate's haversine R=6371000 (m/deg 111194.9266…), ring emission
 # mirrors Ring::deduping_new + the node-anchored 60-pt fallback circle,
 # caps are shifted-polyline endpoints, rail=1 lane, explicit
 # sidewalk:left/right honored, cycleway:side:oneway=-1, coordinates at
 # 9 decimals, MapEdge squares always extend to 3w (terminus.rs:17-31)
 # — gt_* geometry twins change accordingly. v30: tile:// refs resolve
-# against a real PNG tile_store.parquet (z,x,y) with gt_media rows. (v26: geojson://
+# against a real PNG tile_store.parquet (z,x,y) with gt_media rows.
+# v31: bare busway=lane on oneway = single kerb-side bus lane; bare
+# <key>:lanes per-lane lists apply on oneways (bus:lanes=designated|||). (v26: geojson://
 # real payloads + gt_debug_steps.)
 
 SF_DOCS = {"sf0.001": 21, "sf0.01": 210, "sf0.1": 2100,
