@@ -435,6 +435,15 @@ def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
         their golden polygons)."""
     ring = np.array(endpts + [endpts[0]])
     ring = dedupe_consecutive(ring, 0.01)
+    # Wrap-around fold: when the near-duplicate pair straddles the
+    # closure (last emitted endpoint within 1 cm of the first), the
+    # adjacent fold above dropped the closing vertex and left the ring
+    # OPEN ([A,B,C,D,A+5mm] → open 5-point array). Keep-first like the
+    # reference's quantized grid (the golden keeps only the corner):
+    # drop the trailing near-dup and re-close on ring[0].
+    if (ring[-1][0] != ring[0][0] or ring[-1][1] != ring[0][1]) \
+            and float(np.hypot(*(ring[-1] - ring[0]))) <= 0.01:
+        ring = np.vstack([ring[:-1], ring[0:1]])
     if len(ring) >= 4:
         n = len(ring)
         exact_dup = False

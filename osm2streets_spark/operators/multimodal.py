@@ -1,15 +1,18 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 The documents table's ``kind='media'`` spans carry media refs
-(tile://z/x/y.pbf, geojson://doc/layer). This module provides the
-Spark-side plumbing a multimodal training pipeline needs — schema,
-partitioning, Arrow batch shape — with the actual decoders STUBBED
-(image/audio libs are not in this container; see decode_media).
+(bmp://, png://, geojson://, tile://z/x/y). All FOUR schemes decode
+for REAL: bmp/png inline base64 payloads via the pure-stdlib codecs
+(sources/bmp.py, sources/png.py), geojson:// via a real
+FeatureCollection parse, and tile:// resolved against an external
+tile_store.parquet by a (z, x, y) equi-join and then a real PNG
+decode (see _decode_batch). A deterministic int64 fake survives ONLY
+as the documented fallback for refs with no payload and no store row
+(none in current fixtures).
 
-Everything upstream/downstream of the stub is real and tested:
-media-span extraction, ref parsing, deterministic fake feature
-extraction (so downstream joins/aggregations exercise real columns),
-and frame-sample batching via mapInPandas.
+Spark-side plumbing — schema, partitioning, Arrow batch shape, the
+store-as-its-own-table join — is the 100 TB shape for media blobs;
+decode runs inside mapInPandas repartitioned by doc.
 """
 
 from __future__ import annotations
@@ -141,13 +144,26 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             if isinstance(payload, str) and payload \
                     and ref.startswith("geojson://"):
-                fc = json.loads(payload)
-                feats = fc.get("features", [])
-                n_coords = sum(
-                    len(f["geometry"]["coordinates"]) for f in feats)
-                rows.append((doc_id, ref, int(n_coords), len(feats), 1,
-                             _geojson_feature(feats)))
-                continue
+                # Only LineString features have the flat coordinate
+                # lists _geojson_feature assumes; a Point (flat pair)
+                # or Polygon (nested rings) would yield ragged arrays
+                # and fail the whole Arrow batch. Normalize by
+                # filtering; a malformed payload falls through to the
+                # deterministic-fake branch below.
+                try:
+                    fc = json.loads(payload)
+                    feats = [
+                        f for f in fc.get("features", [])
+                        if isinstance(f.get("geometry"), dict)
+                        and f["geometry"].get("type") == "LineString"
+                    ]
+                    n_coords = sum(
+                        len(f["geometry"]["coordinates"]) for f in feats)
+                    rows.append((doc_id, ref, int(n_coords), len(feats),
+                                 1, _geojson_feature(feats)))
+                    continue
+                except (ValueError, KeyError, TypeError):
+                    pass
             h = np.frombuffer(
                 ref.encode("utf-8")[:8].ljust(8, b"\0"), dtype=np.int64
             )[0]

@@ -161,6 +161,22 @@ def build_street_network(spark: SparkSession, docs: DataFrame,
     debug_steps_df = None  # set when debug_steps and transforms run
     if docs_hint is None:
         docs_hint = getattr(docs, "_spark_graft_docs_hint", None)
+    if docs_hint is None:
+        # The attribute is best-effort (any .where/.select between
+        # load_documents and here returns a NEW DataFrame and drops
+        # it — round-6 ADVICE). Recover the hint from the underlying
+        # parquet scan's footers: inputFiles() is a driver-side
+        # metadata walk (no Spark job) that survives intervening
+        # transformations. A filtered frame overestimates — fine for
+        # a partition-sizing hint. Non-parquet sources (PBF parses)
+        # yield nothing and keep the unset-conf behavior.
+        try:
+            docs_hint = sum(
+                _count_parquet_rows(f.removeprefix("file:"))
+                for f in docs.inputFiles() if f.endswith(".parquet")
+            ) or None
+        except Exception:
+            docs_hint = None
     if docs_hint:
         spark.conf.set("spark_graft.docs_hint", str(int(docs_hint)))
     else:

@@ -180,6 +180,15 @@ def queries() -> Q:
             "doc_id", "way_id", F.size("node_ids").cast("long").alias("n_nodes"),
             "tags_json")
 
+    def s_way_xml(spark, sf_dir):
+        """way_to_xml (osm2streets-py/src/lib.rs:290-314) over every
+        way — byte-faithful incl. the reference's raw-string literal
+        `\\n` quirk. Oracle: INDEPENDENT DuckDB re-derivation from
+        gt_ways (string concat over node list + sorted tag entries)."""
+        from ..operators.debug_api import way_xml
+        _, ways, _ = _parsed(spark, sf_dir)
+        return way_xml(ways)
+
     def sn_way_filter(spark, sf_dir):
         _, ways, _ = _parsed(spark, sf_dir)
         f = filter_ways(ways)
@@ -273,6 +282,7 @@ def queries() -> Q:
     q.update({
         "sn_parse_nodes": sn_parse_nodes,
         "sn_parse_ways": sn_parse_ways,
+        "s_way_xml": s_way_xml,
         "sn_way_filter": sn_way_filter,
         "sn_intersections": sn_intersections,
         "sn_split_segments": sn_split_segments,
@@ -323,7 +333,12 @@ def queries() -> Q:
         reference's apply_transformations_stepwise_debugging
         (transform/mod.rs:94-109) snapshots the network before/after
         each pass; this emits the per-pass network sizes per doc.
-        Oracle: the sequential replay's gt_debug_steps twin."""
+        Oracle: the sequential replay's gt_debug_steps twin —
+        backfilled HERE (first use) rather than in oracle_sql(), so
+        merely formatting the SQL strings never pays the full
+        single-threaded sequential replay over a fixture dir whose
+        gt_debug_steps.parquet is absent."""
+        ensure_debug_steps_gt(fixture_dir_for(sf_dir))
         docs = load_documents(spark, fixture_dir_for(sf_dir))
         net = build_street_network(spark, docs, debug_steps=True)
         return net["debug_steps"].select(
@@ -621,6 +636,26 @@ def oracle_sql() -> dict[str, str]:
         f"select doc_id, way_id, cast(len(node_ids) as bigint) as n_nodes, "
         f"tags_json from read_parquet('{fix}/gt_ways.parquet')"
     )
+    # way_to_xml twin: independent string re-derivation over the
+    # generator-written topology. The '\\n' below is the LITERAL
+    # two-character sequence (standard SQL strings don't process
+    # escapes), mirroring the reference's raw-string quirk
+    # (lib.rs:299,302); chr(10) is the one real newline (lib.rs:297).
+    o["s_way_xml"] = f"""
+      select doc_id, way_id,
+             '<way id="' || way_id || '">' || chr(10) ||
+             coalesce(list_aggregate(list_transform(node_ids,
+                 n -> '  <nd ref="' || n || '"/>\\n'),
+                 'string_agg', ''), '') ||
+             coalesce(list_aggregate(list_transform(
+                 list_sort(json_keys(tags_json)),
+                 k -> '  <tag k="' || k || '" v="' ||
+                      json_extract_string(tags_json, '$."' || k || '"')
+                      || '"/>\\n'),
+                 'string_agg', ''), '') ||
+             '</way>' as xml
+      from read_parquet('{fix}/gt_ways.parquet')
+    """
     o["sn_way_filter"] = f"""
       select doc_id, way_id,
              coalesce(json_extract_string(tags_json, '$.highway'), '')
@@ -970,9 +1005,10 @@ def oracle_sql() -> dict[str, str]:
       from read_parquet('{fix}/gt_transformed.parquet')
     """
     # s_debug_steps: stepwise-debugging twin — per-pass network sizes
-    # from the sequential replay (backfilled lazily for pre-round-6
-    # fixture dirs)
-    ensure_debug_steps_gt(fix)
+    # from the sequential replay. Backfilled lazily by the s_debug_steps
+    # QUERY fn (first use), NOT here: oracle_sql() must stay a cheap
+    # string formatter with no minutes-long sequential-replay side
+    # effect for callers that never run this oracle.
     o["s_debug_steps"] = f"""
       select doc_id, cast(step_idx as int) as step_idx, step_name,
              cast(n_roads as bigint) as n_roads,

@@ -38,7 +38,10 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v31"  # r6 byte-exactness: engine M_PER_DEG now mirrors the
+GEN_VERSION = "v32"  # r7: ring emission closes the wrap-around 1 cm fold
+# (a near-duplicate pair straddling the closure previously emitted an
+# OPEN ring — round-6 ADVICE); gt_* geometry twins change accordingly.
+# v31: r6 byte-exactness: engine M_PER_DEG now mirrors the
 # geom crate's haversine R=6371000 (m/deg 111194.9266…), ring emission
 # mirrors Ring::deduping_new + the node-anchored 60-pt fallback circle,
 # caps are shifted-polyline endpoints, rail=1 lane, explicit
@@ -723,13 +726,24 @@ def ensure_debug_steps_gt(fix_dir: str) -> str | None:
     return _write_debug_steps(fix_dir, dbg_rows)
 
 
+# Versions whose RAW corpus output (documents/tile_store + the
+# parse-level gt_nodes/ways/relations/media twins — everything an
+# sf_scale dir carries) is byte-identical to GEN_VERSION's. The perf-only
+# scaling corpora (149 MB at 16x, minutes to regenerate) skip the rebuild
+# when their stamp is in this set; geometry-kernel-only bumps belong here.
+SCALE_DATA_COMPAT = {"v31", GEN_VERSION}
+
+
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     """Write fixture parquet for the given scale if missing; returns dir."""
     out_dir = os.path.join(root, sf_name)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         with open(done) as fh:
-            if fh.read().strip() == GEN_VERSION:
+            stamp = fh.read().strip()
+            if stamp == GEN_VERSION or (
+                    sf_name.startswith("sf_scale")
+                    and stamp in SCALE_DATA_COMPAT):
                 return out_dir
         import shutil
         shutil.rmtree(out_dir)
