@@ -328,6 +328,35 @@ def queries() -> Q:
             F.round("trimmed_length", 2).alias("trimmed_length"),
             "lane_chars")
 
+    def s_split_transforms(spark, sf_dir):
+        """The dense-doc quadkey SPLIT path under a CORRECTNESS gate
+        (round-6 verdict #7): threshold lowered to SPLIT_GT_THRESHOLD
+        at zoom SPLIT_GT_ZOOM so the dense_cell docs (49 roads over
+        ~128 m → 4 zoom-18 cells) run the per-cell transform kernels
+        with T4 skipped and seam intersections frozen, while the other
+        topologies stay on the unsplit path — both branches in one
+        oracle row. Oracle: sequential replay with the identical cfg
+        (gt_split_transformed, lazily backfilled)."""
+        from dataclasses import replace
+
+        from ..config import DEFAULT_CONFIG
+        from ..sources.fixtures import (
+            SPLIT_GT_THRESHOLD, SPLIT_GT_ZOOM, ensure_split_transforms_gt,
+        )
+        ensure_split_transforms_gt(fixture_dir_for(sf_dir))
+        cfg = replace(DEFAULT_CONFIG,
+                      transform_split_threshold=SPLIT_GT_THRESHOLD,
+                      transform_split_zoom=SPLIT_GT_ZOOM)
+        docs = load_documents(spark, fixture_dir_for(sf_dir))
+        net = build_street_network(spark, docs, cfg=cfg)
+        return net["roads"].select(
+            "doc_id", "way_id",
+            F.array_join(F.transform("osm_way_ids",
+                                     lambda x: x.cast("string")),
+                         ",").alias("osm_way_ids"),
+            F.round("trimmed_length", 2).alias("trimmed_length"),
+            "lane_chars")
+
     def s_debug_steps(spark, sf_dir):
         """Stepwise transformation debugging (S11 debug layers): the
         reference's apply_transformations_stepwise_debugging
@@ -396,6 +425,7 @@ def queries() -> Q:
         "sn_geojson_features": sn_geojson_features,
         "sn_movements": sn_movements,
         "sn_transformed_roads": sn_transformed_roads,
+        "s_split_transforms": s_split_transforms,
         "s_debug_steps": s_debug_steps,
         "sn_feature_snap": sn_feature_snap,
         "g_rhop": g_rhop,
@@ -1003,6 +1033,15 @@ def oracle_sql() -> dict[str, str]:
       select doc_id, way_id, osm_way_ids,
              round(trimmed_length, 2) as trimmed_length, lane_chars
       from read_parquet('{fix}/gt_transformed.parquet')
+    """
+    # s_split_transforms: the quadkey-split transform path (lowered
+    # threshold), replayed sequentially with the identical cfg. The gt
+    # is backfilled lazily by the QUERY fn (first use), like
+    # gt_debug_steps.
+    o["s_split_transforms"] = f"""
+      select doc_id, way_id, osm_way_ids,
+             round(trimmed_length, 2) as trimmed_length, lane_chars
+      from read_parquet('{fix}/gt_split_transformed.parquet')
     """
     # s_debug_steps: stepwise-debugging twin — per-pass network sizes
     # from the sequential replay. Backfilled lazily by the s_debug_steps

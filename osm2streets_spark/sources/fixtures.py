@@ -726,6 +726,71 @@ def ensure_debug_steps_gt(fix_dir: str) -> str | None:
     return _write_debug_steps(fix_dir, dbg_rows)
 
 
+# Quadkey-split CORRECTNESS twin (round-6 verdict ask #7): the default
+# transform_split_threshold (4000 roads/doc) never fires on the small
+# correctness fixtures, so the split machinery — per-cell transform
+# kernels, T4-skip-for-split-docs, frozen seam intersections — had only
+# pytest coverage. The s_split_transforms query lowers the threshold to
+# SPLIT_GT_THRESHOLD at zoom SPLIT_GT_ZOOM (the dense_cell topology
+# spans ~128 m → 4 zoom-18 cells; most other docs stay unsplit, so the
+# corpus exercises BOTH paths), and this twin replays the identical cfg
+# sequentially.
+SPLIT_GT_THRESHOLD = 24
+SPLIT_GT_ZOOM = 18
+
+
+def ensure_split_transforms_gt(fix_dir: str) -> str | None:
+    """Lazily backfill gt_split_transformed.parquet (same shape as
+    gt_transformed, computed with the lowered split threshold) into an
+    already-generated fixture dir — like ensure_debug_steps_gt, no
+    GEN_VERSION churn. No-op for sf_scale dirs (never oracled)."""
+    if os.path.basename(os.path.normpath(fix_dir)).startswith("sf_scale"):
+        return None
+    path = os.path.join(fix_dir, "gt_split_transformed.parquet")
+    if os.path.exists(path):
+        return path
+    from dataclasses import replace
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from ..config import DEFAULT_CONFIG
+    from ..plans.sequential import convert_document
+
+    cfg = replace(DEFAULT_CONFIG,
+                  transform_split_threshold=SPLIT_GT_THRESHOLD,
+                  transform_split_zoom=SPLIT_GT_ZOOM)
+    docs = pq.read_table(
+        os.path.join(fix_dir, "documents.parquet"),
+        columns=["doc_id", "spans"]).to_pylist()
+    road_rows: list[dict] = []
+    for d in docs:
+        roads, _ints, *_ = convert_document(d["doc_id"], d["spans"], cfg)
+        for r in roads:
+            tl = float(Decimal(repr(float(r["trimmed_length"])))
+                       .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+            road_rows.append({
+                "doc_id": d["doc_id"], "way_id": r["way_id"],
+                "osm_way_ids": ",".join(str(w) for w in r["osm_way_ids"]),
+                "trimmed_length": tl,
+                "lane_chars": r["lane_chars"],
+            })
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in road_rows],
+                               pa.string()),
+            "way_id": pa.array([r["way_id"] for r in road_rows],
+                               pa.int64()),
+            "osm_way_ids": pa.array([r["osm_way_ids"] for r in road_rows],
+                                    pa.string()),
+            "trimmed_length": pa.array(
+                [r["trimmed_length"] for r in road_rows], pa.float64()),
+            "lane_chars": pa.array([r["lane_chars"] for r in road_rows],
+                                   pa.string()),
+        }),
+        path,
+    )
+    return path
+
+
 # Versions whose RAW corpus output (documents/tile_store + the
 # parse-level gt_nodes/ways/relations/media twins — everything an
 # sf_scale dir carries) is byte-identical to GEN_VERSION's. The perf-only

@@ -437,6 +437,49 @@ BENCH/BASELINE.md in git history for the full tables.
           "({n}/{t} rows)".format(n=len(rows), t=len(LADDER)), flush=True)
 
 
+def write_sidecar(done: list[dict]) -> None:
+    """Machine-readable twin of the BASELINE.md ladder, gated by
+    tests/test_scaling_gate.py (criterion wl_norm >= 0.8). Weak
+    scaling = (4c docs/s at the 4x corpus) vs (16c docs/s at the 16x
+    corpus) per core — only emitted once both rows exist."""
+    weak = None
+    r4x = next((r for r in done if r["sf"] == "sf_scale_4x"), None)
+    r16x = next((r for r in done if r["sf"] == "sf_scale_16x"), None)
+    if r4x and r16x:
+        weak = round(r16x["b"]["docs_per_sec"]
+                     / (4.0 * r4x["a"]["docs_per_sec"]), 3)
+    out = {
+        "comment": ("Machine-readable sidecar of the BENCH/BASELINE.md "
+                    "two-parallelism ladder. Written by "
+                    "scripts/run_scaling16.py after each measured corpus; "
+                    "gated by tests/test_scaling_gate.py (criterion "
+                    "wl_norm >= 0.8). raw_eff = a_median / (cores_ratio * "
+                    "b_median); wl_norm = raw_eff / kernel_ceil (the "
+                    "zero-Spark convert_document multiprocessing probe "
+                    "median bracketing that row's runs)."),
+        "criterion_sf": "sf_scale_16x",
+        "cores_a": 4,
+        "cores_b": 16,
+        "weak_scaling": weak,
+        "rows": [
+            {
+                "sf": r["sf"], "docs": r["docs"],
+                "a_runs": [round(t, 1) for t in r["a"]["times"]],
+                "a_median": round(r["a"]["median"], 1),
+                "b_runs": [round(t, 1) for t in r["b"]["times"]],
+                "b_median": round(r["b"]["median"], 1),
+                "raw_eff": round(r["eff"], 3),
+                "kernel_ceil": r["ceil"],
+                "wl_norm": round(r["eff"] / r["ceil"], 3),
+            }
+            for r in done
+        ],
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_evidence.json"),
+              "w") as f:
+        json.dump(out, f, indent=2)
+
+
 def main() -> None:
     t_start = time.time()
     done: list[dict] = []
@@ -468,6 +511,7 @@ def main() -> None:
         order = {s: i for i, (s, _, _) in enumerate(LADDER)}
         done.sort(key=lambda x: order[x["sf"]])
         write_md(done, probes, hw4, hw16, (time.time() - t_start) / 60)
+        write_sidecar(done)
 
     crit = next((r for r in done if r["sf"] == "sf_scale_16x"), None)
     if crit:

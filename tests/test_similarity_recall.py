@@ -26,16 +26,14 @@ def _recall(spark, emb):
 
 
 def test_ann_lsh_recall_clustered(spark):
-    rng = np.random.RandomState(3)
-    centers = rng.randn(40, 64) * 4.0
-    rows = []
-    vid = 0
-    for c in centers:
-        for _ in range(12):
-            rows.append((vid, (c + rng.randn(64) * 0.3).tolist()))
-            vid += 1
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    emb = emb.cache()
+    """Clustered recall at the sf0.01 corpus SIZE (500 vectors — the
+    driver's correctness scale), same generator as
+    scripts/recall_measure.py, which also measures the bench corpus
+    (sf0.1: recall 0.98 clustered / 1.0 for both text-LSH paths, no
+    bucket over cap — BENCH/recall_r07.json)."""
+    from scripts.recall_measure import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 500).cache()
     r = _recall(spark, emb)
     assert r >= 0.8, f"clustered recall too low: {r:.3f}"
 

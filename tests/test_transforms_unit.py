@@ -101,3 +101,44 @@ def test_zip_sidepath_requires_connectors():
     out = zip_sidepaths([main, near])
     assert len(out) == 2
 
+
+
+def test_split_gt_actually_splits(fixture_dir):
+    """The s_split_transforms CORRECTNESS row is only meaningful if the
+    lowered threshold actually fires: dense_cell docs (49 roads > 24)
+    must take the per-cell path (T4 skipped -> disconnected fragments
+    survive, seam trims frozen), producing output that DIFFERS from the
+    unsplit gt for those docs and matches it for the sparse ones."""
+    import duckdb
+
+    from osm2streets_spark.sources.fixtures import (
+        ensure_split_transforms_gt,
+    )
+
+    ensure_split_transforms_gt(fixture_dir)
+    con = duckdb.connect()
+    split_n, unsplit_n = con.execute(f"""
+      select
+        (select count(*) from
+            read_parquet('{fixture_dir}/gt_split_transformed.parquet')
+         where doc_id like 'dense_cell%'),
+        (select count(*) from
+            read_parquet('{fixture_dir}/gt_transformed.parquet')
+         where doc_id like 'dense_cell%')
+    """).fetchone()
+    assert split_n > unsplit_n, (
+        "split path left dense_cell output identical — threshold "
+        "did not fire")
+    same = con.execute(f"""
+      with a as (select doc_id, way_id, trimmed_length, lane_chars from
+          read_parquet('{fixture_dir}/gt_split_transformed.parquet')
+          where doc_id not like 'dense_cell%'),
+           b as (select doc_id, way_id, trimmed_length, lane_chars from
+          read_parquet('{fixture_dir}/gt_transformed.parquet')
+          where doc_id not like 'dense_cell%')
+      select (select count(*) from (select * from a except
+              select * from b)) +
+             (select count(*) from (select * from b except
+              select * from a))
+    """).fetchone()[0]
+    assert same == 0, "sparse docs must be unaffected by the threshold"
