@@ -113,43 +113,47 @@ TRIM_SCHEMA = StructType([
 ])
 
 
-def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
+def _t6_rows(group: list[dict], trims_only: bool) -> list[tuple]:
     # deterministic input order: angle-sort ties and movement ordering
-    # must not depend on Arrow batch arrival order
-    pdf = pdf.sort_values(["road_id", "is_src_end"])
-    doc_id = pdf["doc_id"].iloc[0]
-    i_id = int(pdf["i_id"].iloc[0])
-    driving_side = pdf["driving_side"].iloc[0]
+    # must not depend on Arrow batch arrival order. Plain dict rows, not
+    # a pandas frame: per-group pandas slicing/itertuples dominated this
+    # kernel's profile (round-7 rewrite; semantics unchanged — the
+    # (road_id, is_src_end) key is unique within a junction group, so
+    # sort stability is irrelevant).
+    group = sorted(group, key=lambda r: (r["road_id"], r["is_src_end"]))
+    doc_id = group[0]["doc_id"]
+    i_id = int(group[0]["i_id"])
+    driving_side = group[0]["driving_side"]
     roads = []
-    for row in pdf.itertuples(index=False):
-        xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
-        if bool(row.is_src_end):
+    for row in group:
+        xy = np.asarray(row["xy"], dtype=float).reshape(-1, 2)
+        if bool(row["is_src_end"]):
             xy_away = xy          # src end: polyline already leaves the junction
         else:
             xy_away = xy[::-1]    # dst end: reverse so it points away
         banned, only = set(), set()
-        rj = row.restrictions_json
+        rj = row.get("restrictions_json")
         if isinstance(rj, str) and rj:
             for item in json.loads(rj):
-                if item["frm"] == row.road_id:
+                if item["frm"] == row["road_id"]:
                     (banned if item["rt"] == "Ban" else only).add(item["to"])
-        pre = getattr(row, "pretrim", None)
+        pre = row.get("pretrim")
         pre = None if pre is None or (isinstance(pre, float)
                                       and math.isnan(pre)) else float(pre)
         roads.append({
-            "key": (int(row.road_id), bool(row.is_src_end)),
-            "road_id": int(row.road_id),
-            "is_src_end": bool(row.is_src_end),
+            "key": (int(row["road_id"]), bool(row["is_src_end"])),
+            "road_id": int(row["road_id"]),
+            "is_src_end": bool(row["is_src_end"]),
             "xy": xy_away,
-            "width": float(row.total_width),
-            "driveable": bool(row.driveable),
-            "can_out": bool(row.can_out),
-            "can_in": bool(row.can_in),
-            "is_link": bool(getattr(row, "is_link", False)),
+            "width": float(row["total_width"]),
+            "driveable": bool(row["driveable"]),
+            "can_out": bool(row["can_out"]),
+            "can_in": bool(row["can_in"]),
+            "is_link": bool(row.get("is_link", False)),
             "banned_to": banned,
             "only_to": only,
             "pretrim": pre,
-            "other_i": int(getattr(row, "other_i", 0) or 0),
+            "other_i": int(row.get("other_i", 0) or 0),
         })
     roads_cw = sort_roads_cw(roads)
     edges_full = None
@@ -184,86 +188,143 @@ def _t6_rows(pdf: pd.DataFrame, trims_only: bool) -> list[tuple]:
     return rows
 
 
+def _group_codes(doc: np.ndarray, iid: np.ndarray) -> np.ndarray:
+    """First-occurrence-ordered group index per row for the (doc_id,
+    i_id) key — the vectorized replacement for the pandas
+    groupby(sort=False) dispatch that dominated this kernel's profile.
+    Handles non-contiguous groups (the sequential replay's ends frame
+    is in road order, not junction order)."""
+    n = len(doc)
+    d_codes = pd.factorize(doc)[0].astype(np.int64)
+    arr = np.column_stack([d_codes, iid.astype(np.int64)])
+    uniq, inv = np.unique(arr, axis=0, return_inverse=True)
+    inv = inv.reshape(-1)  # numpy 2.x returns (n,1) with axis=0
+    first = np.full(len(uniq), n, dtype=np.int64)
+    np.minimum.at(first, inv, np.arange(n, dtype=np.int64))
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq), dtype=np.int64)
+    return rank[inv]
+
+
 def t6_process(pdf: pd.DataFrame, trims_only: bool = False) -> pd.DataFrame:
     """Pure per-batch T6: one pandas frame of road-ends (complete
     junction groups) → trim rows. Shared verbatim by the Spark
-    mapInPandas wrapper below and the single-node sequential replay
-    (plans/sequential.py) so the two engines stay bit-identical."""
+    mapInPandas wrapper below and (via t6_rows_core) the single-node
+    sequential replay (plans/sequential.py) so the two engines stay
+    bit-identical."""
+    cols = [f.name for f in TRIM_SCHEMA.fields]
+    col = {c: pdf[c].to_numpy() for c in pdf.columns}
+    return pd.DataFrame(t6_rows_core(col, trims_only), columns=cols)
+
+
+def t6_rows_core(col: dict[str, np.ndarray],
+                 trims_only: bool = False) -> list[tuple]:
+    """The T6 kernel over a dict of column arrays → TRIM_SCHEMA-ordered
+    tuples (doc_id, i_id, road_id, is_src_end, trim, polygon_xy, kind,
+    movements_json, cw_index).
+
+    Round-7 rewrite: the batch is decomposed ONCE into numpy column
+    arrays and dispatched with vectorized group codes; the per-junction
+    kernel gets plain dict rows. The previous pandas-group dispatch
+    (groupby + per-group frame slices + itertuples) was ~60% of the
+    whole T6 stage's CPU at sf0.1 — pure overhead, no geometry."""
     rows: list[tuple] = []
-    counts = pdf.groupby(["doc_id", "i_id"], sort=False)["road_id"] \
-                .transform("size")
-    if trims_only and "geom_length" in pdf.columns and len(pdf):
+    n = len(col["doc_id"]) if col else 0
+    if n == 0:
+        return rows
+    names = list(col)
+    gidx = _group_codes(col["doc_id"], col["i_id"])
+    counts = np.bincount(gidx)[gidx]
+    keep = np.ones(n, dtype=bool)
+    if trims_only and "geom_length" in col:
         # pass-1 degree split: degree-1 (terminus.rs:8-29) and degree-2
         # (degenerate.rs:17-38) trims are closed-form arithmetic on
         # (length, width, is_edge) — vectorized numpy over the whole
         # batch, no polyline work. Only degree ≥ 3 groups (and any
         # pretrimmed group) fall through to the per-junction kernel.
-        pre_ok = pdf["pretrim"].isna().groupby(
-            [pdf["doc_id"], pdf["i_id"]], sort=False).transform("all") \
-            if "pretrim" in pdf.columns else pd.Series(True, pdf.index)
+        if "pretrim" in col:
+            has_pre = np.bincount(
+                gidx, weights=(~pd.isna(col["pretrim"])).astype(float),
+                minlength=int(gidx.max()) + 1) > 0
+            pre_ok = ~has_pre[gidx]
+        else:
+            pre_ok = np.ones(n, dtype=bool)
         easy_mask = (counts <= 2) & pre_ok
-        easy = pdf[easy_mask]
-        if len(easy):
-            gl = easy["geom_length"].to_numpy(float)
-            w = np.maximum(easy["total_width"].to_numpy(float), 1.0)
-            is_edge = easy["is_edge"].fillna(False).to_numpy(bool) \
-                if "is_edge" in easy.columns \
-                else np.zeros(len(easy), dtype=bool)
-            t1 = np.where(is_edge,
+        if easy_mask.any():
+            gl = col["geom_length"][easy_mask].astype(float)
+            w = np.maximum(
+                col["total_width"][easy_mask].astype(float), 1.0)
+            if "is_edge" in col:
+                ie = pd.Series(col["is_edge"][easy_mask]) \
+                    .fillna(False).to_numpy(bool)
+            else:
+                ie = np.zeros(int(easy_mask.sum()), dtype=bool)
+            t1 = np.where(ie,
                           gl - np.maximum(gl, 3.0 * w) + w,
                           np.where(gl > w + 1.0, w, 0.4 * gl))
-            minlen = easy.groupby(["doc_id", "i_id"], sort=False)[
-                "geom_length"].transform("min").to_numpy(float)
+            gmin = np.full(int(gidx.max()) + 1, np.inf)
+            np.minimum.at(gmin, gidx[easy_mask], gl)
+            minlen = gmin[gidx[easy_mask]]
             t2 = np.where(minlen < 0.2, 0.0,
                           np.where(gl > 2.0, 1.0, 0.1))
-            ecounts = counts[easy_mask].to_numpy()
-            trims_v = np.where(ecounts == 1, t1, t2)
+            trims_v = np.where(counts[easy_mask] == 1, t1, t2)
             for d, i, rid, s, t in zip(
-                    easy["doc_id"], easy["i_id"], easy["road_id"],
-                    easy["is_src_end"], trims_v):
+                    col["doc_id"][easy_mask], col["i_id"][easy_mask],
+                    col["road_id"][easy_mask],
+                    col["is_src_end"][easy_mask], trims_v):
                 rows.append((d, int(i), int(rid), bool(s), float(t),
                              None, None, None, 0))
-        pdf = pdf[~easy_mask]
-        counts = counts[~easy_mask]
+        keep = ~easy_mask
     # fast path: degree-1 junctions (termini — typically the majority
     # of junction groups) skip the full kernel: trim 0, square end
-    # polygon, no movements (terminus.rs:8-64). Routed here instead
-    # of pandas-group dispatch, which dominated the stage cost.
-    singles = pdf[counts == 1]
-    multi = pdf[counts > 1]
-    for row in singles.itertuples(index=False):
-        pre = getattr(row, "pretrim", None)
+    # polygon, no movements (terminus.rs:8-64).
+    kidx = np.nonzero(keep)[0]
+    kcounts = counts[kidx]
+    for j in kidx[kcounts == 1]:
+        pre = col["pretrim"][j] if "pretrim" in col else None
         pre = None if pre is None or (isinstance(pre, float)
                                       and math.isnan(pre)) else float(pre)
-        xy = np.asarray(row.xy, dtype=float).reshape(-1, 2)
-        if not bool(row.is_src_end):
+        xy = np.asarray(col["xy"][j], dtype=float).reshape(-1, 2)
+        if not bool(col["is_src_end"][j]):
             xy = xy[::-1]
-        w = max(float(row.total_width), 1.0)
-        is_edge = bool(getattr(row, "is_edge", False))
+        w = max(float(col["total_width"][j]), 1.0)
+        is_edge = bool(col["is_edge"][j]) if "is_edge" in col else False
         # terminus.rs:8-64: trim by width (MapEdges extend short
         # roads first); a T1 pretrim memo overrides
         if pre is not None:
             trim, ring = pre, None
             if not trims_only:
-                key = (int(row.road_id), bool(row.is_src_end))
+                key = (int(col["road_id"][j]), bool(col["is_src_end"][j]))
                 ring = intersection_polygon(
                     [{"key": key, "xy": xy, "width": w,
-                      "road_id": int(row.road_id)}], {key: pre})
+                      "road_id": int(col["road_id"][j])}], {key: pre})
         else:
             trim, ring = terminus_geometry(xy, w, is_edge)
         if trims_only:
-            rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                         bool(row.is_src_end), float(trim),
+            rows.append((col["doc_id"][j], int(col["i_id"][j]),
+                         int(col["road_id"][j]),
+                         bool(col["is_src_end"][j]), float(trim),
                          None, None, None, 0))
             continue
-        kind = "Terminus" if bool(row.driveable) else "Connection"
-        rows.append((row.doc_id, int(row.i_id), int(row.road_id),
-                     bool(row.is_src_end), float(trim),
+        kind = "Terminus" if bool(col["driveable"][j]) else "Connection"
+        rows.append((col["doc_id"][j], int(col["i_id"][j]),
+                     int(col["road_id"][j]),
+                     bool(col["is_src_end"][j]), float(trim),
                      ring.ravel().tolist(), kind, "[]", 0))
-    if len(multi):
-        for _, g in multi.groupby(["doc_id", "i_id"], sort=False):
-            rows.extend(_t6_rows(g, trims_only))
-    return pd.DataFrame(rows, columns=[f.name for f in TRIM_SCHEMA.fields])
+    multi_j = kidx[kcounts > 1]
+    if len(multi_j):
+        # contiguous runs per group, in first-occurrence order (gidx
+        # ranks groups by first occurrence, so a stable sort on it is
+        # exactly the old groupby(sort=False) iteration order)
+        order = multi_j[np.argsort(gidx[multi_j], kind="stable")]
+        gvals = gidx[order]
+        starts = np.nonzero(np.r_[True, gvals[1:] != gvals[:-1]])[0]
+        bounds = np.r_[starts, len(order)]
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            grp = [{c: col[c][j] for c in names} for j in order[s0:e0]]
+            rows.extend(_t6_rows(grp, trims_only))
+    return rows
 
 
 def stream_groups(batches, key_cols: list[str], process):
