@@ -642,48 +642,80 @@ TRANSFORM_SCHEMA = StructType(
 )
 
 
-def _transform_doc(doc_id: str, pdf: pd.DataFrame,
-                   with_sidepath_zip: bool = False,
-                   with_remove_disconnected: bool = True,
-                   doc_split: bool = False) -> pd.DataFrame:
+def _transform_doc_core(doc_id: str, rows: list[dict],
+                        with_sidepath_zip: bool = False,
+                        with_remove_disconnected: bool = True,
+                        doc_split: bool = False):
+    """One document's transform fixpoint over plain dict rows →
+    (surviving road dicts, imerges). Dict rows, not a pandas frame: the
+    per-doc to_dict("records") + per-doc output-frame construction was
+    the majority of the whole transforms stage's CPU at sf0.1."""
     # Arrow batch row order is nondeterministic; kernels must not depend
     # on it (e.g. T2 keeps the FIRST road's id) — sort by road_id first
-    pdf = pdf.sort_values("road_id")
+    rows.sort(key=lambda r: r["road_id"])
     if doc_split:
         # a cell of a split doc must never run T4: components span
         # cells, and a cell with no frozen seam (fully disconnected
         # interior roads) would otherwise prune per-cell
         with_remove_disconnected = False
-    roads = pdf.to_dict("records")
-    for r in roads:
+    for r in rows:
         r["xy"] = list(r["xy"])
         if r.get("osm_way_ids") is None:
             r["osm_way_ids"] = [r["way_id"]]
         else:
             r["osm_way_ids"] = list(r["osm_way_ids"])
     imerges: dict[int, int] = {}
-    roads = apply_standard_transforms(roads, with_sidepath_zip, imerges,
+    roads = apply_standard_transforms(rows, with_sidepath_zip, imerges,
                                       with_remove_disconnected)
-    cols = [n for n, _ in _ROAD_FIELDS + _OUT_EXTRA]
-    data = {"doc_id": [doc_id] * (len(roads) + len(imerges))}
+    return roads, imerges
+
+
+def _transform_batch(pdf: pd.DataFrame, with_sidepath_zip: bool,
+                     with_remove_disconnected: bool) -> pd.DataFrame:
+    """One Arrow batch of complete (doc_id, _tcell) groups → one output
+    frame. The batch is decomposed ONCE into native-Python column lists
+    and dispatched with vectorized group codes (first-occurrence order,
+    matching the old groupby(sort=False))."""
+    from .geometry_update import _group_codes
+    out_cols = ["doc_id"] + [n for n, _ in _ROAD_FIELDS + _OUT_EXTRA]
     long_cols = {n for n, t in _ROAD_FIELDS if isinstance(t, LongType)}
-    for c in cols:
-        vals = [r.get(c) for r in roads]
-        if c == "row_kind":
-            vals = ["road"] * len(roads) + ["imerge"] * len(imerges)
-        elif c == "src_i":
-            vals += [surv for _, surv in sorted(imerges.items())]
-        elif c == "dst_i":
-            vals += [absd for absd, _ in sorted(imerges.items())]
-        else:
-            vals += [None] * len(imerges)
-        if c in long_cols:
-            # nullable Int64: mixing None (imerge rows) with int64 ids
-            # in an object->float64 column silently mangles xxhash64
-            # ids beyond 2^53
-            data[c] = pd.array(vals, dtype="Int64")
-        else:
-            data[c] = vals
+    col = {c: pdf[c].tolist() for c in pdf.columns if c != "_tcell"}
+    names = list(col)
+    tcell = pdf["_tcell"].to_numpy()
+    gidx = _group_codes(pdf["doc_id"].to_numpy(), tcell)
+    order = np.argsort(gidx, kind="stable")
+    gvals = gidx[order]
+    starts = np.nonzero(np.r_[True, gvals[1:] != gvals[:-1]])[0]
+    bounds = np.r_[starts, len(order)]
+    data: dict[str, list] = {c: [] for c in out_cols}
+    for s0, e0 in zip(bounds[:-1], bounds[1:]):
+        run = order[s0:e0]
+        rows = [{c: col[c][j] for c in names} for j in run]
+        doc_id = rows[0]["doc_id"]
+        roads, imerges = _transform_doc_core(
+            doc_id, rows, with_sidepath_zip, with_remove_disconnected,
+            doc_split=bool(tcell[run[0]]))
+        nr, ni = len(roads), len(imerges)
+        data["doc_id"].extend([doc_id] * (nr + ni))
+        im = sorted(imerges.items())
+        for c in out_cols[1:]:
+            lst = data[c]
+            if c == "row_kind":
+                lst.extend(["road"] * nr)
+                lst.extend(["imerge"] * ni)
+                continue
+            lst.extend(r.get(c) for r in roads)
+            if c == "src_i":
+                lst.extend(surv for _, surv in im)
+            elif c == "dst_i":
+                lst.extend(absd for absd, _ in im)
+            else:
+                lst.extend([None] * ni)
+    for c in long_cols:
+        # nullable Int64: mixing None (imerge rows) with int64 ids in
+        # an object->float64 column silently mangles xxhash64 ids
+        # beyond 2^53
+        data[c] = pd.array(data[c], dtype="Int64")
     return pd.DataFrame(data)
 
 
@@ -716,14 +748,8 @@ def run_transforms(roads: DataFrame,
     n = kernel_partitions(spark)
 
     def _process(pdf):
-        outs = [
-            _transform_doc(doc_id, g.drop(columns=["_tcell"]),
-                           with_sidepath_zip, with_remove_disconnected,
-                           doc_split=bool(cell))
-            for (doc_id, cell), g in pdf.groupby(["doc_id", "_tcell"],
-                                                 sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+        return _transform_batch(pdf, with_sidepath_zip,
+                                with_remove_disconnected)
 
     def batched(batches):
         from .geometry_update import stream_groups
