@@ -17,19 +17,23 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
-        # 2x cores: enough granularity for AQE to coalesce, not so many
-        # that small-scale runs drown in task overhead. On a 1000-executor
-        # cluster this becomes ~2x total cores via the same env knob.
-        # SPARK_GRAFT_SHUFFLE_PARTITIONS pins it data-proportionally
-        # instead (scaling-criterion runs: same task list at every
-        # cluster size — see kernel_partitions).
+        # 1x cores: our shuffles are byte-small, so AQE's coalesce
+        # floor (minPartitionNum=cores) is where every over-provisioned
+        # shuffle lands anyway — provisioning 2x cores just paid the
+        # extra map/reduce task fixed costs first (interleaved A/B at
+        # sf0.1: 2x-cores flagship ~20-22 s vs 1x-cores ~13-15 s; AQE
+        # skew split still raises it when a partition is genuinely
+        # hot). On a real cluster SPARK_GRAFT_SHUFFLE_PARTITIONS pins
+        # it data-proportionally instead (scaling-criterion runs: same
+        # task list at every cluster size — see kernel_partitions).
         shuffle_partitions = (
             int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
-            or 2 * cores)
+            or cores)
     builder = (
         SparkSession.builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # our shuffles are byte-small but Python-CPU-heavy (geometry
         # kernels); don't let AQE coalesce below the core count or the
@@ -47,11 +51,20 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
         # alone measured ~1.6 s of the driver's DAG-construction time
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (costs listener/jetty overhead in benches);
+        # SPARK_GRAFT_UI=1 turns it on for REST-API stage forensics
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cores}]")
     return builder.getOrCreate()
+
+
+# target docs per kernel task: big enough to amortize the fixed
+# per-task cost, small enough that a straggler partition can't hold a
+# whole stage (measured sweet spot at the sf0.1 bench corpus)
+DOCS_PER_KERNEL_PARTITION = 64
 
 
 def kernel_partitions(spark: SparkSession, factor: int = 4) -> int:
@@ -82,5 +95,14 @@ def kernel_partitions(spark: SparkSession, factor: int = 4) -> int:
     except Exception:
         hint = 0
     if hint > 0:
-        n = max(cores, min(n, hint))
+        # data-proportional: aim for >= DOCS_PER_KERNEL_PARTITION docs
+        # per task so the per-task fixed cost (scheduler + python
+        # worker round trip, ~30-60 ms here) stays amortized. Measured
+        # at sf0.1 (2,100 docs): 128 partitions -> 16 docs/task ran the
+        # flagship ~6 s slower than 32 partitions; at deployment scale
+        # hint/target >> cores*factor and the cores*factor cap binds,
+        # so balance across a big cluster is unchanged.
+        n = max(cores, min(n, hint,
+                           -(-hint // DOCS_PER_KERNEL_PARTITION)))
+        n = min(n, hint)
     return n
