@@ -76,7 +76,14 @@ def apply_boundary_clip(nodes: dict, ways: list, ring: np.ndarray):
             for x, y in piece:
                 nid = coord_to_id.get((float(x), float(y)))
                 if nid is None:
-                    nid = _syn_id(float(f"{x:.7f}"), float(f"{y:.7f}"))
+                    # quantize the synthetic crossing to ~0.1 mm
+                    # (1e-9 deg), mirroring the reference's Pt2D
+                    # trim_f64 grid — the old 1e-7 deg rounding (a
+                    # 1.1 cm quantum) displaced clipped termini by up
+                    # to ±0.8 cm and pushed their MapEdge squares just
+                    # past the 1 cm exactness gate (quad/arizona
+                    # forensics: rigid ~1 cm square displacements)
+                    nid = _syn_id(float(f"{x:.9f}"), float(f"{y:.9f}"))
                 piece_refs.append(nid)
             if len(piece_refs) >= 2:
                 pid = way_id if len(pieces) == 1 else -(way_id * 100 + k + 1)

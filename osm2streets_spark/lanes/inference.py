@@ -428,6 +428,40 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         # bare busway=lane on a oneway is a SINGLE kerb-side lane (see
         # the assembly-side rule below) — keep the count consistent
         _n_bus = 1
+
+    def _list_types_bus(d: str) -> bool:
+        # does a bus/psv per-lane list type any travel lane in
+        # direction d as a bus lane?
+        for k in ("bus", "psv"):
+            v = tags.get(f"{k}:lanes:{d}")
+            if v is None and ((d == "forward" and oneway)
+                              or (d == "backward" and reverse_oneway)):
+                v = tags.get(f"{k}:lanes")
+            if v and "designated" in v.split("|"):
+                return True
+        return False
+
+    _street_ow = oneway or reverse_oneway
+    _travel = "backward" if reverse_oneway else "forward"
+    # a bus/psv lane LIST and a busway:<side>=lane tag describe the
+    # SAME lane — when the list already types a travel lane as bus, the
+    # busway side tag must not append a second one or shrink the
+    # driving count (leeds golden way 39597033: busway:left=lane +
+    # lanes=2 + psv:lanes=designated|yes renders 6.048 m = one 3.048 m
+    # bus + one 3.0 m driving lane, not two bus lanes)
+    _list_bus_travel = _street_ow and _list_types_bus(_travel)
+    if _list_bus_travel:
+        _n_bus = 0
+    elif _n_bus == 0 and _street_ow:
+        # the COUNT form: lanes:psv=N / lanes:bus=N says N of the
+        # `lanes` travel lanes are bus lanes; on a oneway they sit
+        # kerb-side like the bare-busway rule (st_georges goldens: all
+        # seven lanes=3 + lanes:psv=1 primaries render 10.648 m =
+        # s|Bdd with a 3.048 m kerb-side bus lane — the uniform 2.4 cm
+        # ring shift at their junctions was the missing 0.048 m)
+        _psv_n = tags.get("lanes:psv") or tags.get("lanes:bus") or ""
+        if _psv_n.isdigit() and int(_psv_n) > 0:
+            _n_bus = min(int(_psv_n), max(1, n_lanes - 1))
     n_fwd = n_back = 0
     if oneway:
         if tags.get("lanes:forward", "").isdigit():
@@ -563,6 +597,19 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                 bus_right = False
             else:
                 bus_left = False
+    if _list_bus_travel:
+        # the per-lane list already typed the bus lane inside the
+        # travel lanes — don't append a second one (leeds 39597033)
+        bus_left = bus_right = False
+    elif _n_bus and not bus_left and not bus_right and _street_ow:
+        # lanes:psv=N / lanes:bus=N count form: kerb-side on oneways
+        # (same side rule as the bare busway=lane above)
+        kerb_left = (driving_side == "left") if oneway \
+            else (driving_side == "right")
+        if kerb_left:
+            bus_left = True
+        else:
+            bus_right = True
 
     # side defaults: for a two-way street (RHT) the left side travels
     # backward; mirrored for LHT

@@ -38,7 +38,7 @@ FIXTURE_ROOT = os.environ.get(
 
 # documents per scale factor (street docs are heavier than TPC-H rows)
 # bump when generator output changes — cached fixture dirs regenerate
-GEN_VERSION = "v32"  # r7: ring emission closes the wrap-around 1 cm fold
+GEN_VERSION = "v33"  # r7: clip points on the 0.1 mm grid; lanes:psv rule
 # (a near-duplicate pair straddling the closure previously emitted an
 # OPEN ring — round-6 ADVICE); gt_* geometry twins change accordingly.
 # v31: r6 byte-exactness: engine M_PER_DEG now mirrors the
