@@ -412,6 +412,12 @@ def _node_point(roads_cw: list[dict]) -> np.ndarray:
     return np.asarray(best, dtype=float)
 
 
+# adjacent-vertex fold tolerance for emitted rings (m). Module-level so
+# the forensics sweep (scripts/fold_sweep.py) can probe alternatives;
+# see _ring_or_circle's docstring for the golden-derived semantics.
+RING_FOLD_EPS = 0.01
+
+
 def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
     """Close + clean the emitted ring, mirroring Ring::deduping_new →
     Ring::new (geometry/mod.rs:228) + the caller's failure fallback:
@@ -434,7 +440,7 @@ def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
         dups and golden circles; arizona near-dups at 4e-14 keep
         their golden polygons)."""
     ring = np.array(endpts + [endpts[0]])
-    ring = dedupe_consecutive(ring, 0.01)
+    ring = dedupe_consecutive(ring, RING_FOLD_EPS)
     # Wrap-around fold: when the near-duplicate pair straddles the
     # closure (last emitted endpoint within 1 cm of the first), the
     # adjacent fold above dropped the closing vertex and left the ring
@@ -442,7 +448,7 @@ def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
     # reference's quantized grid (the golden keeps only the corner):
     # drop the trailing near-dup and re-close on ring[0].
     if (ring[-1][0] != ring[0][0] or ring[-1][1] != ring[0][1]) \
-            and float(np.hypot(*(ring[-1] - ring[0]))) <= 0.01:
+            and float(np.hypot(*(ring[-1] - ring[0]))) <= RING_FOLD_EPS:
         ring = np.vstack([ring[:-1], ring[0:1]])
     if len(ring) >= 4:
         n = len(ring)

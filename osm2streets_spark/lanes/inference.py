@@ -130,6 +130,12 @@ class LaneSpec:
     width: float
     subtype: str = ""
     allowed_turns: list = field(default_factory=list)
+    # True when the width came from an explicit per-lane tag
+    # (cycleway:<side>:width, width:lanes:<dir>) — muv passes those
+    # through verbatim (osm2lanes/src/algorithm.rs:125-128
+    # lane.width.map_or_else), so the blanket width=* carriageway
+    # scaling must not rescale them
+    width_pinned: bool = False
 
     def as_dict(self) -> dict:
         return {
@@ -196,7 +202,12 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
     """Return (kind, lanes) for cycleway on ``side``; kind in
     {None, 'lane', 'track'}; lanes is list of (dir,) ordered
     backward-then-forward for two-way."""
-    val = tags.get(f"cycleway:{side}") or tags.get("cycleway")
+    # :both is the explicit two-sided form (neukolln Karl-Marx-Straße:
+    # cycleway:both=lane puts an advisory lane on each side even on
+    # oneways — unlike the bare `cycleway`, which muv expands to both
+    # sides only for two-way roads)
+    val = (tags.get(f"cycleway:{side}") or tags.get("cycleway:both")
+           or tags.get("cycleway"))
     # 'opposite' (legacy contraflow-permitted) and 'shared_lane'
     # (sharrow markings) add no separate lane — muv produces identical
     # lane specs for cycleway=opposite and cycleway:both=no, which is
@@ -249,6 +260,16 @@ def _apply_width_tag(specs: list["LaneSpec"], tags: dict) -> None:
         return
     travel = [sp for sp in specs if sp.lt not in _NON_TRAVEL]
     target = travel if travel else specs
+    # lanes whose width came from an explicit per-lane tag keep it
+    # (muv: lane.width wins over typical); the blanket width=* covers
+    # the REST of the carriageway — neukolln's Karl-Marx-Straße ways
+    # (width=13, cycleway:both:width=1.8, width:lanes:*=3.3) render
+    # 10.2 m = the sum of the explicit widths, not 13 scaled
+    pinned = [sp for sp in target if sp.width_pinned]
+    target = [sp for sp in target if not sp.width_pinned]
+    total -= sum(sp.width for sp in pinned)
+    if not target or total <= 0:
+        return
     dsum = sum(sp.width for sp in target) or 1.0
     for sp in target:
         sp.width = round(total * sp.width / dsum, 6)
@@ -539,17 +560,44 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             lane_subtype = f"access:{av}"
     w_drive = default_width(lane_lt, "", hw)
 
+    def _parse_w(v) -> float | None:
+        if not v:
+            return None
+        try:
+            w = float(str(v).replace("m", "").strip())
+        except ValueError:
+            return None
+        return w if 0.2 <= w <= 10.0 else None
+
+    def _width_list(d: str) -> list:
+        # explicit per-lane widths: width:lanes:<dir>=a|b|... (bare
+        # width:lanes on the oneway travel direction); empty entries
+        # keep the default. muv passes lane.width through verbatim —
+        # neukolln golden 37184618 (width:lanes:forward=3.2|3.2,
+        # width:lanes:backward=3.6) renders 13.6 m, the explicit sum,
+        # ignoring its width=13.5
+        v = tags.get(f"width:lanes:{d}")
+        if v is None and ((d == "forward" and oneway)
+                          or (d == "backward" and reverse_oneway)):
+            v = tags.get("width:lanes")
+        return [_parse_w(p) for p in v.split("|")] if v else []
+
     def _make_dir_lanes(n: int, direction: str, list_key: str):
         out = []
         kinds = lane_lists.get(list_key, [])
+        widths = _width_list(list_key)
         for i in range(n):
             k = kinds[i] if i < len(kinds) else ""
+            w_exp = widths[i] if i < len(widths) else None
             if k == "bus" and lane_lt == DRIVING:
-                out.append(LaneSpec(BUS, direction,
-                                    default_width(BUS, "", hw)))
+                out.append(LaneSpec(
+                    BUS, direction,
+                    w_exp if w_exp else default_width(BUS, "", hw),
+                    width_pinned=w_exp is not None))
             else:
-                out.append(LaneSpec(lane_lt, direction, w_drive,
-                                    subtype=lane_subtype))
+                out.append(LaneSpec(
+                    lane_lt, direction, w_exp if w_exp else w_drive,
+                    subtype=lane_subtype, width_pinned=w_exp is not None))
         return out
 
     # per-lane lists are tagged left-to-right IN THE DIRECTION OF
@@ -643,6 +691,16 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         (None, []) if contraflow_side == "right"
         else _bike_pair(tags, "right", oneway, right_default))
     w_bike = default_width(BIKING, "", hw)
+    # explicit cycle-lane widths: cycleway:<side>:width, falling back
+    # to cycleway:both:width (muv lane.width passthrough — neukolln
+    # Karl-Marx-Straße cycleway:both:width=1.8/2 goldens)
+    _bw_left = _parse_w(tags.get("cycleway:left:width")
+                        or tags.get("cycleway:both:width"))
+    _bw_right = _parse_w(tags.get("cycleway:right:width")
+                         or tags.get("cycleway:both:width"))
+    w_bike_left = _bw_left if _bw_left else w_bike
+    w_bike_right = _bw_right if _bw_right else w_bike
+    bl_pin, br_pin = _bw_left is not None, _bw_right is not None
 
     def parking(side: str) -> list[LaneSpec]:
         # legacy schema: parking:lane:<side> = orientation
@@ -701,14 +759,17 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         # of the carriageway for RoadPosition::Center (the taipei
         # golden renders cycleway:right=track secondary 506351786 with
         # a 1.55 m shift = driving-lanes-only center, not 0.75)
-        left_zone += [LaneSpec(BIKING, d, w_bike, "track")
+        left_zone += [LaneSpec(BIKING, d, w_bike_left, "track",
+                               width_pinned=bl_pin)
                       for d in bike_left]
     roadway_left: list[LaneSpec] = []
     if sh_left:
         roadway_left.append(LaneSpec(SHOULDER, FWD, w_sh))
     roadway_left += park_left
     if bike_left_kind == "lane":
-        roadway_left += [LaneSpec(BIKING, d, w_bike) for d in bike_left]
+        roadway_left += [LaneSpec(BIKING, d, w_bike_left,
+                                  width_pinned=bl_pin)
+                         for d in bike_left]
     if bus_left and lane_lt != BUS:
         roadway_left.append(LaneSpec(BUS, left_default if not street_oneway else FWD,
                                      default_width(BUS, "", hw)))
@@ -718,13 +779,16 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         roadway_right.append(LaneSpec(BUS, right_default if not street_oneway else FWD,
                                       default_width(BUS, "", hw)))
     if bike_right_kind == "lane":
-        roadway_right += [LaneSpec(BIKING, d, w_bike) for d in bike_right]
+        roadway_right += [LaneSpec(BIKING, d, w_bike_right,
+                                   width_pinned=br_pin)
+                          for d in bike_right]
     roadway_right += park_right
     if sh_right:
         roadway_right.append(LaneSpec(SHOULDER, FWD, w_sh))
     right_zone: list[LaneSpec] = []
     if bike_right_kind == "track":
-        right_zone += [LaneSpec(BIKING, d, w_bike, "track")
+        right_zone += [LaneSpec(BIKING, d, w_bike_right, "track",
+                                width_pinned=br_pin)
                        for d in bike_right]
     if sw_right:
         right_zone.append(LaneSpec(SIDEWALK, FWD, w_sw))
