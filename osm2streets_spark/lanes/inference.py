@@ -754,12 +754,23 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
     left_zone: list[LaneSpec] = []
     if sw_left:
         left_zone.append(LaneSpec(SIDEWALK, FWD, w_sw))
+    # subtype "track" = kerb-separated cycle track, part of the
+    # roadway for RoadPosition::Center (is_roadway, osm2lanes
+    # lib.rs:131-148: Biking is always roadway — the kingsway goldens'
+    # cycleway:left=track trunks center on the FULL b|dd width);
+    # "track_shared" = cycleway:<side>:segregated=no, a track sharing
+    # the footpath zone with its sidewalk and excluded from the
+    # roadway (the taipei goldens' 506351786/310677986: sidewalk=right
+    # + segregated=no render a 1.55 m shift = driving-lanes-only
+    # center)
+    def _track_subtype(side: str) -> str:
+        return ("track_shared"
+                if tags.get(f"cycleway:{side}:segregated") == "no"
+                else "track")
+
     if bike_left_kind == "track":
-        # subtype "track" marks a kerb-separated cycle track: NOT part
-        # of the carriageway for RoadPosition::Center (the taipei
-        # golden renders cycleway:right=track secondary 506351786 with
-        # a 1.55 m shift = driving-lanes-only center, not 0.75)
-        left_zone += [LaneSpec(BIKING, d, w_bike_left, "track",
+        left_zone += [LaneSpec(BIKING, d, w_bike_left,
+                               _track_subtype("left"),
                                width_pinned=bl_pin)
                       for d in bike_left]
     roadway_left: list[LaneSpec] = []
@@ -787,7 +798,8 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         roadway_right.append(LaneSpec(SHOULDER, FWD, w_sh))
     right_zone: list[LaneSpec] = []
     if bike_right_kind == "track":
-        right_zone += [LaneSpec(BIKING, d, w_bike_right, "track",
+        right_zone += [LaneSpec(BIKING, d, w_bike_right,
+                                _track_subtype("right"),
                                 width_pinned=br_pin)
                        for d in bike_right]
     if sw_right:

@@ -26,11 +26,13 @@ _NON_ROADWAY_BUFFERS = {"curb", "verge"}
 def _is_roadway(s) -> bool:
     if s.lt == BUFFER:
         return s.subtype not in _NON_ROADWAY_BUFFERS
-    if s.lt == BIKING and s.subtype == "track":
-        # a kerb-separated cycle track sits in the footpath zone, not
-        # the carriageway (lib.rs:133 FIXME "depends on lane vs track"
-        # — the shipped behavior, pinned by the taipei 506351786
-        # golden's 1.55 m center shift, excludes tracks)
+    if s.lt == BIKING and s.subtype == "track_shared":
+        # ONLY a cycle track tagged segregated=no (sharing the
+        # footpath zone with its sidewalk — taipei 506351786's 1.55 m
+        # golden center shift) sits outside the roadway; plain tracks
+        # ARE roadway per lib.rs:133 (Biking always true — the
+        # kingsway cycleway:left=track trunks center on the full
+        # b|dd width, shift 0)
         return False
     return s.lt in ROADWAY
 TRAVEL = {DRIVING, BIKING, BUS, LIGHT_RAIL}
