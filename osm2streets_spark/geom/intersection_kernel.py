@@ -544,13 +544,16 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
             d_on_trimmed = da - exts[0][1]
             # Near-parallel FACING edges (sausage links, dual-carriageway
             # connections): the "corner" lands within ~1 cm of the tip of
-            # the re-extended edges, inside the junction face — the
+            # BOTH re-extended edges, inside the junction face — the
             # reference's quantized segment-crossing test rejects those
             # hits (goldens show a straight face there; sensitivity to
             # the 0.1 mm grid is ~100x at these angles, so the hit falls
-            # off-segment), while a true corner sits >= the corner pair's
-            # trim depth from the tip.
-            not_tip = min(da, db) >= 0.01
+            # off-segment). A hit near ONE tip but well along the other
+            # edge is a genuine angled corner the reference keeps
+            # (i5/leeds goldens carry the extra vertex ~4-9 cm from the
+            # edge endpoint — the former min() test dropped those).
+            not_tip = ((da >= 0.01 or db >= 0.01)
+                           and min(da, db) >= 0.0005)
             if not_tip and d_on_trimmed <= exts[0][2] / 2.0:
                 endpts.append(np.asarray(pt, dtype=float))
     return _ring_or_circle(endpts, roads_cw)
