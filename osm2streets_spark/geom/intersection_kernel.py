@@ -419,7 +419,11 @@ RING_FOLD_EPS = 0.01
 
 
 def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
-    """Close + clean the emitted ring, mirroring Ring::deduping_new →
+    return _ring_or_circle_ex(endpts, roads_cw)[0]
+
+
+def _ring_or_circle_ex(endpts: list, roads_cw: list[dict]):
+    """→ (ring, fell_back). Close + clean the emitted ring, mirroring Ring::deduping_new →
     Ring::new (geometry/mod.rs:228) + the caller's failure fallback:
 
       * adjacent vertices within 1 cm fold into one (keep-first) — the
@@ -463,9 +467,9 @@ def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
             if exact_dup:
                 break
         if exact_dup:
-            return circle_ring(_node_point(roads_cw), 3.0)
-        return ring
-    return circle_ring(_node_point(roads_cw), 3.0)
+            return circle_ring(_node_point(roads_cw), 3.0), True
+        return ring, False
+    return circle_ring(_node_point(roads_cw), 3.0), True
 
 
 def _cap_corners_ext(xy: np.ndarray, trim: float, width: float):
@@ -478,7 +482,19 @@ def _cap_corners_ext(xy: np.ndarray, trim: float, width: float):
 def intersection_polygon(roads_cw: list[dict], trims: dict,
                          mode: str = "general",
                          edges_full: list | None = None) -> np.ndarray:
-    """Closed ring for the junction area.
+    return intersection_polygon_ex(roads_cw, trims, mode, edges_full)[0]
+
+
+def intersection_polygon_ex(roads_cw: list[dict], trims: dict,
+                            mode: str = "general",
+                            edges_full: list | None = None):
+    """→ (closed ring, fell_back). fell_back mirrors the reference's
+    update_geometry.rs Err branch: Ring construction failed and the
+    node-anchored 3 m circle was kept — the caller must then apply NO
+    trims to the incident roads (ADVICE r6; the Err branch returns an
+    empty trim map, so roads stay untrimmed at that junction).
+
+    Closed ring for the junction area.
 
     n==1: terminus square (terminus.rs — trim handled by caller via
     ``trims``); n==2: degenerate square from the 4 trimmed corner
@@ -494,12 +510,12 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
         c_r, c_l = _shift_end_corners(_trimmed_center_away(r["xy"], trim), w)
         b_r, b_l = _shift_end_corners(
             _trimmed_center_away(r["xy"], max(trim - w, 0.0)), w)
-        return np.array([c_r, c_l, b_l, b_r, c_r])
+        return np.array([c_r, c_l, b_l, b_r, c_r]), False
     if len(roads_cw) == 2:
         if min(polyline_length(r["xy"]) for r in roads_cw) < 0.2:
             # degenerate.rs:23-26 bails outright on a too-short road —
             # the caller keeps the node-anchored fallback circle
-            return circle_ring(_node_point(roads_cw), 3.0)
+            return circle_ring(_node_point(roads_cw), 3.0), True
         corners = []
         for r in roads_cw:
             trim = trims.get(r["key"], 0.0)
@@ -507,7 +523,7 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
                 _trimmed_center_away(r["xy"], trim), r["width"])
             corners.append((c_l, c_r))
         (a_l, a_r), (b_l, b_r) = corners
-        return _ring_or_circle([a_l, b_r, b_l, a_r], roads_cw)
+        return _ring_or_circle_ex([a_l, b_r, b_l, a_r], roads_cw)
 
     if mode == "ramp":
         # on_off_ramp.rs:158-175: just the 6 endpoints of the final
@@ -518,7 +534,7 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
                 r["xy"], trims.get(r["key"], 0.0), r["width"])
             endpts.append(c_l)
             endpts.append(c_r)
-        return _ring_or_circle(endpts, roads_cw)
+        return _ring_or_circle_ex(endpts, roads_cw)
 
     edges = _trimmed_edges(roads_cw, trims, edges_full)
     edges.append(edges[0])
@@ -556,7 +572,7 @@ def intersection_polygon(roads_cw: list[dict], trims: dict,
                            and min(da, db) >= 0.0005)
             if not_tip and d_on_trimmed <= exts[0][2] / 2.0:
                 endpts.append(np.asarray(pt, dtype=float))
-    return _ring_or_circle(endpts, roads_cw)
+    return _ring_or_circle_ex(endpts, roads_cw)
 
 
 # ---------------------------------------------------------------------------

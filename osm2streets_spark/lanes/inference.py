@@ -374,12 +374,17 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             if tags.get("segregated") == "yes" \
                     and tags.get("foot") == "yes":
                 # segregated foot+cycle track: a separate 2.0 m foot
-                # path rides alongside the bike lanes (st_georges
-                # golden: 237438710 foot=yes segregated=yes oneway=no
-                # renders 5.0 m = 1.5 + 1.5 + 2.0)
-                r_dir0 = FWD if driving_side == "right" else BACK
-                specs = specs + [LaneSpec(FOOTWAY, r_dir0,
-                                          default_width(FOOTWAY, "", hw))]
+                # path rides alongside the bike lanes on the KERB side
+                # — left for LHT, right for RHT (st_georges golden:
+                # 237438710 foot=yes segregated=yes oneway=no renders
+                # 5.0 m = 2.0 + 1.5 + 1.5 and its junction polygons
+                # sit at shift -1.0, i.e. the foot path is the
+                # LEFTMOST lane on this LHT way)
+                w_f = default_width(FOOTWAY, "", hw)
+                if driving_side == "right":
+                    specs = specs + [LaneSpec(FOOTWAY, FWD, w_f)]
+                else:
+                    specs = [LaneSpec(FOOTWAY, BACK, w_f)] + specs
             # explicit sidewalk tags on a standalone cycleway add a
             # sidewalk lane behind a kerb (tests.rs way/414489468
             # "bb|s" and way/705809125 "s|b")

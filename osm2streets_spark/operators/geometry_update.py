@@ -35,7 +35,8 @@ from ..geom.core import (
 )
 from ..geom.intersection_kernel import (
     sort_roads_cw, compute_trims_ex, intersection_polygon,
-    movements_and_kind, terminus_geometry, _cw_edges,
+    intersection_polygon_ex, movements_and_kind, terminus_geometry,
+    _cw_edges,
 )
 
 M_PER_DEG = 111_194.92664455873
@@ -171,7 +172,18 @@ def _t6_rows(group: list[dict], trims_only: bool) -> list[tuple]:
         ring = None
         movements, kind = [], None
     else:
-        ring = intersection_polygon(roads_cw, trims, mode, edges_full)
+        # NOTE on the circle fallback (round-7 ADVICE): the reference's
+        # update_geometry.rs Err branch does NOT reset trim_start/
+        # trim_end — roads keep the values earlier successful passes
+        # set (the Road struct persists them; "don't trim lines back"
+        # refers to the circle's anchor using the untrimmed reference
+        # line). Zeroing trims at fallback junctions was measured
+        # WORSE against the goldens (leeds -3 / arizona -2 road rings),
+        # so the computed trims are applied as the mirror of that
+        # persistence. intersection_polygon_ex exposes the fell_back
+        # flag for diagnostics.
+        ring, _fell_back = intersection_polygon_ex(
+            roads_cw, trims, mode, edges_full)
         movements, kind = movements_and_kind(roads_cw, driving_side)
 
     rows = []
