@@ -213,7 +213,12 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
     # lane specs for cycleway=opposite and cycleway:both=no, which is
     # what lets the reference splice the borough_sausage_links chains
     if val in (None, "no", "none", "separate", "opposite", "shared_lane",
-               "shared", "share_busway", "opposite_share_busway"):
+               "shared", "share_busway", "opposite_share_busway",
+               # side names are not valid VALUES for the bare cycleway
+               # key — muv ignores them (leeds golden: Regent Street
+               # 663639116 cycleway=left lanes=2 renders 6.0 m = dd,
+               # no bike lane on either side)
+               "left", "right", "both"):
         return None, []
     kind = "track" if val in ("track", "opposite_track") else "lane"
     side_oneway = tags.get(f"cycleway:{side}:oneway")
@@ -332,8 +337,13 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         specs = [LaneSpec(SHARED_USE, FWD, default_width(SHARED_USE, "", hw))]
     elif hw == "cycleway":
         w = default_width(BIKING, "", hw)
-        if (tags.get("foot") == "yes" and tags.get("segregated") != "yes") \
+        if (tags.get("foot") in ("yes", "designated")
+                and tags.get("segregated") != "yes") \
                 or tags.get("segregated") == "no":
+            # foot=designated counts as foot-shared too (leeds golden:
+            # 363049230 bicycle=designated foot=designated renders a
+            # 3.0 m shared-use lane, its junction shifted 0.75 m off
+            # our former 1.5 m bike-only reading)
             # foot-shared unsegregated cycleway = 3 m shared-use
             # lane(s) (bristol golden: 280732115 renders 3.0 m wide,
             # not 6.0). An explicit segregated=no alone means the same
@@ -564,6 +574,15 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             # driveable=false in the lanes UDF
             lane_subtype = f"access:{av}"
     w_drive = default_width(lane_lt, "", hw)
+    if lane_lt == DRIVING and hw == "service" \
+            and av in ("no", "delivery"):
+        # hard-denied service corridors render NORMAL 3.0 m lanes,
+        # not the 2.0 m alley width (leeds goldens: access=no
+        # parking aisles 218332069-71 measure ~6.0 m = 2 x 3.0,
+        # access=no oneway 29053005 ~3.0 m; access=private/customers
+        # ways keep the 2.0 m service width — service_road_loop
+        # private two-ways measure 4.0 m)
+        w_drive = 3.0
 
     def _parse_w(v) -> float | None:
         if not v:
