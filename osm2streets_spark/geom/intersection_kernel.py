@@ -417,6 +417,12 @@ def _node_point(roads_cw: list[dict]) -> np.ndarray:
 # see _ring_or_circle's docstring for the golden-derived semantics.
 RING_FOLD_EPS = 0.01
 
+# sub-mm guard for corner hits at a re-extended edge tip: hits closer
+# than this to EITHER tip sit inside the reference's 0.1 mm grid
+# jitter band and its quantized segment test drops them (swept against
+# the goldens; see scripts/fold_sweep.py)
+TIP_TOUCH_EPS = 0.0005
+
 
 def _ring_or_circle(endpts: list, roads_cw: list[dict]) -> np.ndarray:
     return _ring_or_circle_ex(endpts, roads_cw)[0]
@@ -569,7 +575,7 @@ def intersection_polygon_ex(roads_cw: list[dict], trims: dict,
             # (i5/leeds goldens carry the extra vertex ~4-9 cm from the
             # edge endpoint — the former min() test dropped those).
             not_tip = ((da >= 0.01 or db >= 0.01)
-                           and min(da, db) >= 0.0005)
+                       and min(da, db) >= TIP_TOUCH_EPS)
             if not_tip and d_on_trimmed <= exts[0][2] / 2.0:
                 endpts.append(np.asarray(pt, dtype=float))
     return _ring_or_circle_ex(endpts, roads_cw)
