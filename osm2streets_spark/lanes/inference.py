@@ -381,8 +381,18 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                              LaneSpec(BIKING, BACK, w)]
             else:
                 specs = [LaneSpec(BIKING, FWD, w)]
+            _has_sw_tag = any(k in tags for k in
+                              ("sidewalk", "sidewalk:left",
+                               "sidewalk:right", "sidewalk:both"))
             if tags.get("segregated") == "yes" \
-                    and tags.get("foot") == "yes":
+                    and (tags.get("foot") in ("yes", "designated")
+                         or (tags.get("foot") is None
+                             and not _has_sw_tag)):
+                # segregated=yes implies pedestrians even without a
+                # foot tag — UNLESS an explicit sidewalk tag carries
+                # them instead (borough golden 1164020779: segregated
+                # =yes alone renders 5.0 m = fbb; st_georges 414489468
+                # sidewalk=right renders bb|s with NO footpath)
                 # segregated foot+cycle track: a separate 2.0 m foot
                 # path rides alongside the bike lanes on the KERB side
                 # — left for LHT, right for RHT (st_georges golden:
