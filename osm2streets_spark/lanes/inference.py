@@ -567,6 +567,31 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             n_fwd = max(n_fwd, len(lane_lists["forward"]))
         if "backward" in lane_lists:
             n_back = max(n_back, len(lane_lists["backward"]))
+    else:
+        # the list trumps a stale `lanes` on ONEWAYS too, but the
+        # :lanes suffix counts bike LANES as well (osm2lanes lib.rs
+        # is_tagged_by_lanes_suffix: Biking true) — subtract them so a
+        # list that includes the bike lane doesn't widen the
+        # carriageway (aurora golden 792024858: oneway lanes=2 +
+        # bus:lanes:forward=yes|yes|designated renders ~9.05 m =
+        # ddB three travel lanes; st_georges 967715653's 4-entry
+        # bicycle:lanes:forward minus its cycleway:left=lane keeps
+        # lanes:forward=3)
+        def _fwd_bike_lanes() -> int:
+            n = 0
+            for s in ("left", "right"):
+                kind, dirs = _bike_pair(tags, s, True, FWD)
+                if kind == "lane":
+                    n += sum(1 for dd in dirs if dd == FWD)
+            return n
+
+        d = "backward" if reverse_oneway else "forward"
+        if d in lane_lists:
+            boost = len(lane_lists[d]) - _fwd_bike_lanes()
+            if oneway:
+                n_fwd = max(n_fwd, boost)
+            else:
+                n_back = max(n_back, boost)
 
     lane_lt = BUS if hw == "busway" else DRIVING
     lane_subtype = ""
