@@ -80,16 +80,18 @@ def test_parity_byte_exactness_ratchet():
     d = json.load(open(path))
     frac = {a: m["int_geom_exact"] / max(m["int_matched"], 1)
             for a, m in d.items()}
-    areas80 = [a for a, f in frac.items() if f >= 0.8]
-    assert len(areas80) >= 29, (
-        f"only {len(areas80)} areas >= 80% ring-exact: "
+    areas82 = [a for a, f in frac.items() if f >= 0.82]
+    assert len(areas82) >= 30, (
+        f"only {len(areas82)} areas >= 82% ring-exact: "
         f"{sorted((round(f, 3), a) for a, f in frac.items())[:8]}")
     tot_ex = sum(m["int_geom_exact"] for m in d.values())
     tot = sum(m["int_matched"] for m in d.values())
-    # reached 30/30 areas >= 81.3% and 91.2% overall in round 7 (clip
-    # points on the 0.1 mm grid, lanes:psv rule); the floor keeps a
-    # small margin for metric-neutral refactors
-    assert tot_ex / tot >= 0.89, f"overall exact {tot_ex}/{tot}"
+    # reached 30/30 areas >= 83.8% and 93.0% overall in round 7 (0.1 mm
+    # clip grid; lanes:psv, per-lane width tags, cycleway:both,
+    # track-roadway, segregated-footpath, oneway lane-list rules; tip
+    # rejection refined); the floor keeps a small margin for
+    # metric-neutral refactors
+    assert tot_ex / tot >= 0.91, f"overall exact {tot_ex}/{tot}"
 
 
 def test_span_sequence_passthrough(spark):
