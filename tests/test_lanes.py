@@ -187,3 +187,78 @@ def test_widths():
     total = sum(s.width for s in specs)
     # s(1.5) |(0.1) d(3) d(3) |(0.1) s(1.5)
     assert abs(total - 9.2) < 1e-9
+
+
+def _total(tags, side="right"):
+    specs = get_lane_specs_ltr(tags, driving_side=side,
+                               inferred_sidewalks=False)
+    return (lanes_to_chars(specs),
+            round(sum(s.width for s in specs), 3))
+
+
+def test_round7_golden_width_rules():
+    """Round-7 golden-pinned rules (see the area cited per case)."""
+    # st_georges lanes:psv=1 primaries: one kerb-side 3.048 bus lane
+    assert _total({"highway": "primary", "lanes": "3", "lanes:psv": "1",
+                   "oneway": "yes", "sidewalk": "left"}, "left") \
+        == ("s|Bdd", 10.648)
+    # leeds 39597033: busway:left + psv:lanes list = ONE bus lane
+    assert _total({"highway": "tertiary", "lanes": "2", "lanes:bus": "1",
+                   "busway:left": "lane", "oneway": "yes",
+                   "psv:lanes": "designated|yes"}, "left") == ("Bd", 6.048)
+    # neukolln: explicit per-lane widths pin; width= covers the rest
+    assert _total({"highway": "secondary", "lanes": "2", "width": "13",
+                   "cycleway:both": "lane", "cycleway:both:width": "1.8",
+                   "width:lanes:forward": "3.3",
+                   "width:lanes:backward": "3.3"}) == ("bddb", 10.2)
+    # leeds Regent St: bare cycleway side values are ignored
+    assert _total({"highway": "trunk", "lanes": "2", "oneway": "yes",
+                   "cycleway": "left"}, "left") == ("dd", 6.0)
+    # leeds 363049230: foot=designated = 3.0 shared-use
+    assert _total({"highway": "cycleway", "bicycle": "designated",
+                   "foot": "designated"}) == ("F", 3.0)
+    # leeds access=no parking aisles: NORMAL 3.0 m lanes, not alley 2.0
+    assert _total({"highway": "service", "service": "parking_aisle",
+                   "access": "no"}) == ("dd", 6.0)
+    # ...but private/customers service ways keep the 2.0 alley width
+    assert _total({"highway": "service", "access": "private"}) \
+        == ("dd", 4.0)
+    # borough 1164020779: segregated=yes alone implies the footpath
+    assert _total({"highway": "cycleway", "oneway": "no",
+                   "segregated": "yes"}, "left") == ("fbb", 5.0)
+    # st_georges 414489468: a sidewalk tag carries the pedestrians
+    chars, total = _total({"highway": "cycleway", "oneway": "no",
+                           "segregated": "yes", "sidewalk": "right"},
+                          "left")
+    assert chars == "bb|s"
+    # aurora 792024858: a 3-entry directional bus list trumps lanes=2
+    assert _total({"highway": "primary", "lanes": "2", "oneway": "yes",
+                   "bus:lanes:forward": "yes|yes|designated"}) \
+        == ("ddB", 9.048)
+    # ...with suffix-counted bike lanes subtracted (st_georges
+    # 967715653 shape: 4-entry bicycle list + cycleway:left=lane keeps
+    # three travel lanes)
+    assert _total({"highway": "trunk", "lanes": "4", "lanes:forward": "3",
+                   "oneway": "yes", "cycleway:left": "lane",
+                   "bicycle:lanes:forward": "yes|designated|yes|yes"},
+                  "left") == ("bddd", 10.5)
+
+
+def test_round7_track_roadway_placement():
+    """Tracks are roadway for Center placement unless segregated=no
+    (kingsway vs taipei goldens)."""
+    from osm2streets_spark.lanes.placement import placement_shift
+    # kingsway 1003081552: LHT trunk, cycleway:left=track -> shift 0
+    tags = {"highway": "trunk", "lanes": "2", "oneway": "yes",
+            "cycleway:left": "track"}
+    specs = get_lane_specs_ltr(tags, driving_side="left",
+                               inferred_sidewalks=False)
+    assert abs(placement_shift(tags, specs, "left")) < 1e-9
+    # taipei 506351786: segregated=no track is footpath-zone ->
+    # driving-lanes-only center (1.55 m shift with the sidewalk)
+    tags2 = {"highway": "secondary", "lanes": "3", "oneway": "yes",
+             "cycleway:right": "track", "cycleway:right:segregated": "no",
+             "sidewalk": "right"}
+    specs2 = get_lane_specs_ltr(tags2, driving_side="right",
+                                inferred_sidewalks=False)
+    assert abs(placement_shift(tags2, specs2, "right") - 1.55) < 1e-6
