@@ -206,7 +206,8 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
     # cycleway:both=lane puts an advisory lane on each side even on
     # oneways — unlike the bare `cycleway`, which muv expands to both
     # sides only for two-way roads)
-    val = (tags.get(f"cycleway:{side}") or tags.get("cycleway:both")
+    explicit_side = tags.get(f"cycleway:{side}")
+    val = (explicit_side or tags.get("cycleway:both")
            or tags.get("cycleway"))
     # 'opposite' (legacy contraflow-permitted) and 'shared_lane'
     # (sharrow markings) add no separate lane — muv produces identical
@@ -230,7 +231,13 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
         return kind, [BACK]
     twoway = (
         side_oneway == "no"
-        or (side_oneway is None and tags.get("oneway:bicycle") == "no")
+        or (side_oneway is None and tags.get("oneway:bicycle") == "no"
+            # the blanket contraflow marker doubles only lanes implied
+            # by the BARE cycleway key; an explicit cycleway:<side>
+            # tag describes ONE physical lane (kingsway golden
+            # 60577044: cycleway:left=lane + oneway:bicycle=no on a
+            # oneway renders 7.5 m = bdd, not 9.0 = bbdd)
+            and explicit_side is None)
     )
     if twoway:
         return kind, [BACK, FWD]
