@@ -371,9 +371,22 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             else:
                 specs = [LaneSpec(SHARED_USE, FWD, w_sh)]
         else:
-            if tags.get("oneway") == "no":
-                # TWO bike lanes only when bidirectionality is
-                # EXPLICIT: muv defaults a bare highway=cycleway to
+            _has_sw_tag = any(k in tags for k in
+                              ("sidewalk", "sidewalk:left",
+                               "sidewalk:right", "sidewalk:both"))
+            # segregated=yes + an EXPLICIT foot=no (and no sidewalk
+            # tag) is the full separated-track form: footpath + TWO
+            # bike lanes even when tagged oneway (leeds golden
+            # 668997031 oneway=yes foot=no and st_georges 414489472
+            # both render 5.0 m = fbb; oneway segregated ways with
+            # foot untagged keep the single travel lane — adding the
+            # pair there regressed four st_georges roads)
+            _seg_track = (tags.get("segregated") == "yes"
+                          and tags.get("foot") == "no"
+                          and not _has_sw_tag)
+            if tags.get("oneway") == "no" or _seg_track:
+                # TWO bike lanes otherwise only when bidirectionality
+                # is EXPLICIT: muv defaults a bare highway=cycleway to
                 # oneway — the leeds golden renders untagged 566234612
                 # at 1.5 m (junction-polygon corners ±0.75 m off
                 # center) while st_georges' oneway=no 416813994
@@ -388,18 +401,16 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                              LaneSpec(BIKING, BACK, w)]
             else:
                 specs = [LaneSpec(BIKING, FWD, w)]
-            _has_sw_tag = any(k in tags for k in
-                              ("sidewalk", "sidewalk:left",
-                               "sidewalk:right", "sidewalk:both"))
             if tags.get("segregated") == "yes" \
                     and (tags.get("foot") in ("yes", "designated")
-                         or (tags.get("foot") is None
-                             and not _has_sw_tag)):
-                # segregated=yes implies pedestrians even without a
-                # foot tag — UNLESS an explicit sidewalk tag carries
-                # them instead (borough golden 1164020779: segregated
-                # =yes alone renders 5.0 m = fbb; st_georges 414489468
-                # sidewalk=right renders bb|s with NO footpath)
+                         or not _has_sw_tag):
+                # segregated=yes implies the footpath even without a
+                # foot tag — and even with foot=no (leeds 668997031 /
+                # st_georges 414489472 goldens render 5.0 m = fbb) —
+                # UNLESS an explicit sidewalk tag carries the
+                # pedestrians instead (borough 1164020779 renders fbb;
+                # st_georges 414489468 sidewalk=right renders bb|s
+                # with NO footpath)
                 # segregated foot+cycle track: a separate 2.0 m foot
                 # path rides alongside the bike lanes on the KERB side
                 # — left for LHT, right for RHT (st_georges golden:
