@@ -50,11 +50,21 @@ def exact_duplicates_oracle_sql(doc_table: str) -> str:
 # word shingles + exact Jaccard (the verifier)
 # ---------------------------------------------------------------------------
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct rows — per-word base-31 char-code hash
-    folded across the n-gram; identical arithmetic on the DuckDB side
+def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh: array<long>) — per-doc sorted-distinct shingle set,
+    ONE UDF pass. Per-word base-31 char-code hash folded across the
+    n-gram; identical arithmetic on the DuckDB side
     (shingles_oracle_cte), so the oracle matches bit-for-bit. Empty
     words hash to 0 on both sides.
+
+    Emitting the per-doc ARRAY (rather than exploded rows) is the
+    round-8 shuffle fix: MinHash previously exploded the UDF output and
+    re-collected it with a doc_id shuffle + ObjectHashAggregate just to
+    get the set back — two exchanges and a whole duplicated UDF subtree
+    for a no-op (guide §2.4: remove shuffles outright). Consumers that
+    need rows explode this array (word_shingles); consumers that need
+    sets (signatures, Jaccard verification via array_intersect) use it
+    directly.
 
     Vectorized numpy (same rewrite as text_analysis.fingerprints): the
     sequential fold equals a powers-of-31 dot product mod M, so word
@@ -109,7 +119,13 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             out.append(np.unique(g).tolist())
         return pd.Series(out)
 
-    return docs.select("doc_id", F.explode(_shingles("text")).alias("shingle"))
+    return docs.select("doc_id", _shingles("text").alias("sh"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct rows — explode of shingle_arrays."""
+    return shingle_arrays(docs, n).select(
+        "doc_id", F.explode("sh").alias("shingle"))
 
 
 def shingles_oracle_cte(doc_table: str, n: int = 3) -> str:
@@ -141,9 +157,17 @@ def shingles_oracle_cte(doc_table: str, n: int = 3) -> str:
 def jaccard_pairs(docs: DataFrame, n: int = 3,
                   threshold: float = 0.5) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold (exact, via shingle
-    self-join). At 100 TB this runs only behind an LSH prefilter."""
-    sh = word_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    self-join). At 100 TB this runs only behind an LSH prefilter.
+
+    r8: shingles compute ONCE (persisted per-doc array frame) instead of
+    five independent UDF subtrees — the sizes join reads array lengths
+    off the same frame, and the self-join's two sides scan the cache
+    (guide §5 caching: reused AND expensive to recompute; the persist
+    lives inside the query plan, recomputed fresh every invocation)."""
+    sh_arr = shingle_arrays(docs, n).persist()
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh_arr.select(
+        "doc_id", F.size("sh").cast("long").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -239,10 +263,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     deliberately traded for the n² bound. The DuckDB oracle (exact
     pairs) therefore only matches while every bucket is under the cap —
     true at the driver's correctness scale, asserted for the hot case in
-    tests/test_dedup.py."""
-    sh = word_shingles(docs, n)
-    sh_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
-    sigs = sh_sets.select("doc_id", _minhash_sig("sh").alias("sig"))
+    tests/test_dedup.py.
+
+    r8 plan shape (guide §2.3/§2.4): the per-doc shingle SET computes in
+    ONE UDF pass (shingle_arrays, persisted — the round-7 plan ran the
+    shingle UDF SIX times and the signature UDF twice); signatures read
+    the array directly (the old explode → doc_id-shuffle → collect_list
+    round-trip is gone); the small/big bucket branches merge into one
+    when/otherwise projection so the bands subtree executes once; and
+    verification joins the candidate pairs back to the persisted set
+    frame, computing exact Jaccard per pair via array_intersect (set
+    semantics — both arrays are distinct) instead of re-deriving
+    shingles from raw text on four more scans."""
+    sh_arr = shingle_arrays(docs, n).persist()
+    sigs = sh_arr.select("doc_id", _minhash_sig("sh").alias("sig"))
     r = MINHASH_K // LSH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -265,41 +299,35 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     buckets = bands.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids"))
     buckets = buckets.where(F.size("ids") >= 2)
-    small_pairs = buckets.where(F.size("ids") <= MAX_BUCKET).select(
-        F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), y -> "
-            "struct(x as doc_a, y as doc_b))))")).alias("p"))
-    big_pairs = buckets.where(F.size("ids") > MAX_BUCKET).select(
-        F.explode(F.expr(
-            "transform(slice(ids, 2, size(ids)), y -> "
-            "struct(ids[0] as doc_a, y as doc_b))")).alias("p"))
+    pairs = F.when(
+        F.size("ids") <= MAX_BUCKET,
+        F.expr("flatten(transform(ids, (x, i) -> "
+               "transform(slice(ids, i + 2, size(ids)), y -> "
+               "struct(x as doc_a, y as doc_b))))"),
+    ).otherwise(
+        F.expr("transform(slice(ids, 2, size(ids)), y -> "
+               "struct(ids[0] as doc_a, y as doc_b))"))
     cand = (
-        small_pairs.unionByName(big_pairs)
+        buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"),
                 F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id"))
-              & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # verify candidates with exact jaccard over the persisted sets
+    av = sh_arr.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sh").alias("sh_a"))
+    bv = sh_arr.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cand.join(av, "doc_a").join(bv, "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.round(F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+                    / (F.size("sh_a").cast("long")
+                       + F.size("sh_b").cast("long")
+                       - F.col("n_common")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -362,10 +390,14 @@ def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFram
     minhash_lsh_pairs: hot buckets emit cluster edges (member ↔
     bucket-min), not exact pairs — the pigeonhole exactness guarantee
     holds only below the cap, which is where the DuckDB brute-force
-    oracle runs."""
-    sh = word_shingles(docs, n)
-    sh_sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
-    sigs = sh_sets.select("doc_id", _simhash64("shs").alias("sim"))
+    oracle runs.
+
+    r8: signatures read the per-doc shingle array straight from the one
+    UDF pass (no explode → shuffle → collect_list round-trip), and the
+    small/big bucket branches are one when/otherwise projection, so the
+    whole upstream executes once instead of twice (guide §2.4)."""
+    sh_arr = shingle_arrays(docs, n)
+    sigs = sh_arr.select("doc_id", _simhash64("sh").alias("sim"))
     bands = sigs.select(
         "doc_id", "sim",
         F.explode(F.expr(
@@ -380,18 +412,16 @@ def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFram
     buckets = buckets.where(F.size("ids") >= 2)
     pair = ("struct(x.doc_id as doc_a, x.sim as sim_a, "
             "y.doc_id as doc_b, y.sim as sim_b)")
-    small_pairs = buckets.where(F.size("ids") <= MAX_BUCKET).select(
-        F.explode(F.expr(
-            f"flatten(transform(ids, (x, i) -> "
-            f"transform(slice(ids, i + 2, size(ids)), y -> {pair})))"
-        )).alias("p"))
-    big_pairs = buckets.where(F.size("ids") > MAX_BUCKET).select(
-        F.explode(F.expr(
-            f"transform(slice(ids, 2, size(ids)), y -> "
-            f"struct(ids[0].doc_id as doc_a, ids[0].sim as sim_a, "
-            f"y.doc_id as doc_b, y.sim as sim_b))")).alias("p"))
+    pairs = F.when(
+        F.size("ids") <= MAX_BUCKET,
+        F.expr(f"flatten(transform(ids, (x, i) -> "
+               f"transform(slice(ids, i + 2, size(ids)), y -> {pair})))"),
+    ).otherwise(
+        F.expr(f"transform(slice(ids, 2, size(ids)), y -> "
+               f"struct(ids[0].doc_id as doc_a, ids[0].sim as sim_a, "
+               f"y.doc_id as doc_b, y.sim as sim_b))"))
     cand = (
-        small_pairs.unionByName(big_pairs)
+        buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
     )

@@ -79,13 +79,21 @@ def ann_topk(emb: DataFrame, k: int = 5, n_queries: int = 32) -> DataFrame:
     neighbor id — fully deterministic across engines."""
     from pyspark.sql import Window
 
+    # r8: norms hoisted into the per-SIDE projections (n_queries + n
+    # rows) instead of the per-PAIR expression (n_queries × n rows) —
+    # the interpreted higher-order-function fold was the per-pair cost,
+    # and 2/3 of it was recomputing the two norms for every pair
+    # (guide §1.2 "per-task work"). Same expression over the same
+    # array, so the float64 result is bitwise identical.
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"))
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"))
     v = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("n_emb"))
+                   F.col("embedding").alias("n_emb"),
+                   _norm(F.col("embedding")).alias("n_nrm"))
     cos = _dot(F.col("q_emb"), F.col("n_emb")) \
-        / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+        / (F.col("q_nrm") * F.col("n_nrm"))
     scored = (
         F.broadcast(q).join(v, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
@@ -217,19 +225,28 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 32) -> DataFrame:
     near-orthogonal (that is the data, not the index)."""
     from pyspark.sql import Window
 
-    b = ann_lsh_buckets(emb)
-    e = emb.join(b, "vec_id")
+    # r8: bucket + norm computed once per vector as extra COLUMNS (the
+    # old vec_id self-join re-ran the bucket UDF and the scan for both
+    # join sides); the tiny bucketed frame is persisted so the q and v
+    # branches read one materialization (guide §2.4, §5). Norms hoisted
+    # per side exactly as in ann_topk — bitwise-identical expression.
+    e = emb.select(
+        "vec_id", "embedding",
+        _lsh_bucket("embedding").alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm")).persist()
     probes = F.array(*(
         [F.col("bucket")] +
         [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)]
     ))
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.explode(probes).alias("bucket"))
     v = e.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("n_emb"), F.col("bucket"))
+                 F.col("embedding").alias("n_emb"),
+                 F.col("nrm").alias("n_nrm"), F.col("bucket"))
     cos = _dot(F.col("q_emb"), F.col("n_emb")) \
-        / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+        / (F.col("q_nrm") * F.col("n_nrm"))
     scored = (
         q.join(v, ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -587,15 +587,33 @@ def queries() -> Q:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
+    def _spread_docs(spark, sf_dir):
+        """Driver docs spread across the cluster for the Python-CPU-
+        heavy operators (shingle/fingerprint pandas UDFs): the table is
+        ONE small parquet file, so the file-split scan would run the
+        whole UDF on a single core (r8 plan audit: ArrowEvalPython
+        directly over a 1-split scan). Data-proportional doc_id
+        repartition — same rule as the flagship's load_documents; at
+        100 TB the table is bucketed by doc_id and this is a no-op.
+        The pure-Catalyst ta_*/dd_exact queries deliberately stay on
+        the plain scan: the r8 interleaved A/B measured the extra
+        exchange costing them 0.06-0.7 s with nothing to parallelize
+        (their string expressions are cheap relative to the shuffle)."""
+        from ..session import docs_partitions
+        from .pipeline import _count_parquet_rows
+        n = docs_partitions(
+            spark, _count_parquet_rows(f"{sf_dir}/documents.parquet"))
+        return _driver_docs(spark, sf_dir).repartition(n, "doc_id")
+
     q.update({
         "dd_exact": lambda s, d: dedup.exact_duplicates(_driver_docs(s, d)),
-        "dd_jaccard": lambda s, d: dedup.jaccard_pairs(_driver_docs(s, d)),
-        "dd_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_driver_docs(s, d)),
-        "dd_simhash": lambda s, d: dedup.simhash_pairs(_driver_docs(s, d)),
+        "dd_jaccard": lambda s, d: dedup.jaccard_pairs(_spread_docs(s, d)),
+        "dd_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_spread_docs(s, d)),
+        "dd_simhash": lambda s, d: dedup.simhash_pairs(_spread_docs(s, d)),
         "ta_langid": lambda s, d: text_analysis.lang_id(_driver_docs(s, d)),
         "ta_quality": lambda s, d: text_analysis.quality_score(_driver_docs(s, d)),
         "ta_tokens": lambda s, d: text_analysis.token_stats(_driver_docs(s, d)),
-        "ta_fingerprint": lambda s, d: text_analysis.fingerprints(_driver_docs(s, d)),
+        "ta_fingerprint": lambda s, d: text_analysis.fingerprints(_spread_docs(s, d)),
         "ta_vocab_salted": lambda s, d: text_analysis.vocab_counts_salted(
             _driver_docs(s, d)),
     })

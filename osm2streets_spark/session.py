@@ -66,6 +66,44 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
 # whole stage (measured sweet spot at the sf0.1 bench corpus)
 DOCS_PER_KERNEL_PARTITION = 64
 
+# target docs per task for the lighter text-analysis/dedup pandas UDFs
+# (shingles, fingerprints): r8 interleaved sweep at sf0.1 — see
+# docs_partitions below
+DOCS_PER_TEXT_PARTITION = 128
+
+
+def docs_partitions(spark: SparkSession, n_docs: int,
+                    factor: int = 4) -> int:
+    """Partition count for Python-CPU-heavy scans of a documents table
+    (shingle/fingerprint pandas UDFs). Same sizing rule as
+    kernel_partitions — data-proportional (≥ DOCS_PER_KERNEL_PARTITION
+    docs per task) with a floor at the core count and a cores×factor
+    cap — but takes the row count directly (parquet footer) instead of
+    the session-conf hint. Rationale (r8): the driver's documents table
+    is ONE small parquet file, so the file-split scan runs the whole
+    shingle/fingerprint UDF on a single core; an explicit doc_id
+    repartition sized to the data restores cluster-width parallelism
+    for the Python stage while costing one shuffle of the text bytes
+    (at 100 TB the table is bucketed by doc_id and the shuffle
+    disappears; SPARK_GRAFT_DOC_PARTITIONS pins the count for
+    criterion runs, like the other two knobs)."""
+    pinned = int(os.environ.get("SPARK_GRAFT_DOC_PARTITIONS", "0"))
+    if pinned > 0:
+        return pinned
+    cores = spark.sparkContext.defaultParallelism
+    if n_docs <= 0:
+        return cores * 2
+    # NO cores floor, unlike kernel_partitions: these text UDFs are
+    # ~10× lighter per doc than the geometry kernels, so the fixed
+    # per-task cost dominates sooner. Interleaved sweep at sf0.1
+    # (2,100 docs, r8): 0 parts (1-task scan) / 8 / 16 / 33 gave
+    # minhash 2.59/1.72/1.70/2.11 s, jaccard 3.27/1.76/1.50/2.31 s,
+    # fingerprints 0.82/0.54/0.53/0.72 s — ~128 docs/task is the
+    # plateau, and the cores floor (33 → a 2-wave straggler) gives
+    # back half the win.
+    return max(1, min(cores * factor,
+                      -(-n_docs // DOCS_PER_TEXT_PARTITION)))
+
 
 def kernel_partitions(spark: SparkSession, factor: int = 4) -> int:
     """Partition count for the Python-CPU-heavy kernel repartitions.
