@@ -54,3 +54,27 @@ def test_flagship_plan_shape(net, stage):
     assert n_rdd <= max_rdd_scans, (
         f"{stage}: {n_rdd} checkpoint-boundary scans > ceiling "
         f"{max_rdd_scans} — extra localCheckpoint/persist boundary added")
+
+
+def test_registry_first50_composition():
+    """The round driver executes only the FIRST 50 entries of queries().
+    Round 7 added two queries and silently pushed mm_media_decode /
+    mm_media_refs (then positions 51-52) out of the window — the whole
+    multimodal family lost its CORRECTNESS row and nothing flagged it.
+    Pin the composition: every operator family must have a row inside
+    the window; the two rows that ride outside are the designated thin
+    variants (s_stop_lines, s_debug_cw_order — their layers are covered
+    by sn_stop_lines and the geometry oracles). Adding a 53rd query
+    without deciding what falls out now fails here instead of in the
+    next VERDICT."""
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    assert len(names) == 52, f"registry grew to {len(names)} — re-decide " \
+        "the 50-query window composition deliberately"
+    window, outside = set(names[:50]), set(names[50:])
+    assert outside == {"s_stop_lines", "s_debug_cw_order"}, (
+        f"queries outside the driver's 50-row window changed: {outside}")
+    for family_member in ("mm_media_decode", "mm_media_refs"):
+        assert family_member in window
+    assert set(E.oracle_sql()) == set(names)
