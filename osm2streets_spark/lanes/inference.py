@@ -198,10 +198,19 @@ def infer_sidewalk_tag(tags: dict, driving_side: str) -> str | None:
     return "both"
 
 
-def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str):
+def _bike_pair(tags: dict, side: str, street_dir: str | None,
+               side_default_dir: str):
     """Return (kind, lanes) for cycleway on ``side``; kind in
     {None, 'lane', 'track'}; lanes is list of (dir,) ordered
-    backward-then-forward for two-way."""
+    backward-then-forward for two-way.
+
+    ``street_dir``: the street's travel direction (FWD/BACK) when it is
+    a oneway, None for two-way — so a reverse-oneway's single bike lane
+    is emitted BACK instead of relying on the caller's side-default
+    fallback (r7 ADVICE: the lane-list subtraction counted FWD lanes
+    that were actually emitted BACK and stayed correct only by a
+    direction mismatch)."""
+    street_oneway = street_dir is not None
     # :both is the explicit two-sided form (neukolln Karl-Marx-Straße:
     # cycleway:both=lane puts an advisory lane on each side even on
     # oneways — unlike the bare `cycleway`, which muv expands to both
@@ -236,13 +245,20 @@ def _bike_pair(tags: dict, side: str, street_oneway: bool, side_default_dir: str
             # by the BARE cycleway key; an explicit cycleway:<side>
             # tag describes ONE physical lane (kingsway golden
             # 60577044: cycleway:left=lane + oneway:bicycle=no on a
-            # oneway renders 7.5 m = bdd, not 9.0 = bbdd)
-            and explicit_side is None)
+            # oneway renders 7.5 m = bdd, not 9.0 = bbdd) — and
+            # cycleway:both is equally explicit (r7 ADVICE): one
+            # physical lane PER SIDE, so the doubling must not turn it
+            # into four (neukolln golden 880707286: cycleway:both=lane
+            # + oneway:bicycle=no on a oneway residential renders
+            # ~6.0 m = bdb, not 9.0 = bbdbb)
+            and explicit_side is None
+            and tags.get("cycleway:both") is None)
     )
     if twoway:
         return kind, [BACK, FWD]
-    # single bike lane: forward on a oneway street, else side's direction
-    return kind, [FWD if street_oneway else side_default_dir]
+    # single bike lane: the travel direction on a oneway street, else
+    # the side's direction
+    return kind, [street_dir if street_oneway else side_default_dir]
 
 
 _NON_TRAVEL = {"sidewalk", "buffer"}
@@ -596,11 +612,15 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         # bicycle:lanes:forward minus its cycleway:left=lane keeps
         # lanes:forward=3)
         def _fwd_bike_lanes() -> int:
+            # count lanes emitted in the street's actual travel
+            # direction (BACK for reverse-oneways — r7 ADVICE: the
+            # former (True, FWD) call modeled every oneway as forward)
+            td = BACK if reverse_oneway else FWD
             n = 0
             for s in ("left", "right"):
-                kind, dirs = _bike_pair(tags, s, True, FWD)
+                kind, dirs = _bike_pair(tags, s, td, td)
                 if kind == "lane":
-                    n += sum(1 for dd in dirs if dd == FWD)
+                    n += sum(1 for dd in dirs if dd == td)
             return n
 
         d = "backward" if reverse_oneway else "forward"
@@ -722,6 +742,12 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                 bus_right = False
             else:
                 bus_left = False
+    # multiplicity of the kerb-side bus append: the count form
+    # lanes:psv=N reserves N of the `lanes` travel lanes (r7 ADVICE:
+    # the driving count already subtracted N but the assembly appended
+    # only ONE bus lane, so lanes=4 + lanes:psv=2 rendered 3 lanes and
+    # silently lost a lane's width)
+    _bus_n_left = _bus_n_right = 1
     if _list_bus_travel:
         # the per-lane list already typed the bus lane inside the
         # travel lanes — don't append a second one (leeds 39597033)
@@ -733,8 +759,10 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
             else (driving_side == "right")
         if kerb_left:
             bus_left = True
+            _bus_n_left = _n_bus
         else:
             bus_right = True
+            _bus_n_right = _n_bus
 
     # side defaults: for a two-way street (RHT) the left side travels
     # backward; mirrored for LHT
@@ -761,12 +789,17 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
         travel = BACK if reverse_oneway else FWD
         contraflow_side = "left" if two_way_left != travel else "right"
 
+    # forward-oneways pass FWD as the street direction; reverse-oneways
+    # keep flowing through the side-default fallback (None), exactly
+    # the pre-r8 dispatch — their emitted direction comes from
+    # left/right_default, both BACK
+    _street_dir = FWD if oneway else None
     bike_left_kind, bike_left = (
         (None, []) if contraflow_side == "left"
-        else _bike_pair(tags, "left", oneway, left_default))
+        else _bike_pair(tags, "left", _street_dir, left_default))
     bike_right_kind, bike_right = (
         (None, []) if contraflow_side == "right"
-        else _bike_pair(tags, "right", oneway, right_default))
+        else _bike_pair(tags, "right", _street_dir, right_default))
     w_bike = default_width(BIKING, "", hw)
     # explicit cycle-lane widths: cycleway:<side>:width, falling back
     # to cycleway:both:width (muv lane.width passthrough — neukolln
@@ -859,13 +892,15 @@ def get_lane_specs_ltr(tags: dict, driving_side: str = "right",
                                   width_pinned=bl_pin)
                          for d in bike_left]
     if bus_left and lane_lt != BUS:
-        roadway_left.append(LaneSpec(BUS, left_default if not street_oneway else FWD,
-                                     default_width(BUS, "", hw)))
+        roadway_left += [LaneSpec(BUS, left_default if not street_oneway else FWD,
+                                  default_width(BUS, "", hw))
+                         for _ in range(_bus_n_left)]
 
     roadway_right: list[LaneSpec] = []
     if bus_right and lane_lt != BUS:
-        roadway_right.append(LaneSpec(BUS, right_default if not street_oneway else FWD,
-                                      default_width(BUS, "", hw)))
+        roadway_right += [LaneSpec(BUS, right_default if not street_oneway else FWD,
+                                   default_width(BUS, "", hw))
+                          for _ in range(_bus_n_right)]
     if bike_right_kind == "lane":
         roadway_right += [LaneSpec(BIKING, d, w_bike_right,
                                    width_pinned=br_pin)

@@ -32,8 +32,15 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
     builder = (
         SparkSession.builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # normalize the env value (r7 ADVICE): 0/false/no/off → false,
+        # anything else → true; the raw string previously reached
+        # spark.sql.adaptive.enabled verbatim and any non-boolean value
+        # (e.g. SPARK_GRAFT_AQE=1) threw IllegalArgumentException at
+        # session build
         .config("spark.sql.adaptive.enabled",
-                os.environ.get("SPARK_GRAFT_AQE", "true"))
+                "false" if os.environ.get("SPARK_GRAFT_AQE", "true")
+                .strip().lower() in ("0", "false", "no", "off")
+                else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # our shuffles are byte-small but Python-CPU-heavy (geometry
         # kernels); don't let AQE coalesce below the core count or the

@@ -262,3 +262,41 @@ def test_round7_track_roadway_placement():
     specs2 = get_lane_specs_ltr(tags2, driving_side="right",
                                 inferred_sidewalks=False)
     assert abs(placement_shift(tags2, specs2, "right") - 1.55) < 1e-6
+
+
+def test_round8_advice_fixes():
+    """r7 ADVICE correctness fixes, pinned."""
+    # lanes:psv=N count form appends N kerb-side bus lanes — the
+    # driving count already subtracted N, so N=2 must render ddBB
+    # (4 lanes wide), not ddB (a silently lost lane)
+    assert _total({"highway": "primary", "lanes": "4", "lanes:psv": "2",
+                   "oneway": "yes"}) == ("ddBB", 12.096)
+    # N=1 (the st_georges golden form) is unchanged
+    assert _total({"highway": "primary", "lanes": "3", "lanes:psv": "1",
+                   "oneway": "yes"}) == ("ddB", 9.048)
+    # cycleway:both is explicit like cycleway:<side>: the blanket
+    # oneway:bicycle=no doubling must not turn one-lane-per-side into
+    # two-per-side (neukolln golden 6.0 m carriageway = bdb)
+    assert _total({"highway": "residential", "cycleway:both": "lane",
+                   "oneway": "yes", "oneway:bicycle": "no"}) == ("bdb", 6.0)
+    # ...while the bare cycleway key still doubles on both sides
+    # (unchanged r7 behavior: contraflow keeps both sides, each twoway)
+    assert _total({"highway": "residential", "cycleway": "lane",
+                   "oneway": "yes", "oneway:bicycle": "no"}) == ("bbdbb", 9.0)
+
+
+def test_round8_reverse_oneway_lane_list_bike_subtraction():
+    """_fwd_bike_lanes counts the street's actual travel direction: a
+    reverse-oneway with a per-lane list and an explicit side bike lane
+    must subtract that lane from the boost exactly like the forward
+    form (aurora/st_georges rules mirrored)."""
+    fwd = _total({"highway": "trunk", "lanes": "4", "lanes:forward": "3",
+                  "oneway": "yes", "cycleway:left": "lane",
+                  "bicycle:lanes:forward": "yes|designated|yes|yes"},
+                 "left")
+    rev = _total({"highway": "trunk", "lanes": "4", "lanes:backward": "3",
+                  "oneway": "-1", "cycleway:left": "lane",
+                  "bicycle:lanes:backward": "yes|designated|yes|yes"},
+                 "left")
+    assert fwd == ("bddd", 10.5)
+    assert rev[1] == fwd[1]
