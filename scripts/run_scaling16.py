@@ -54,7 +54,7 @@ LADDER = [
     ("sf_scale", 2400, 3),
 ]
 
-RESULTS_PATH = "/tmp/scaling16_r7_results.json"
+RESULTS_PATH = "/tmp/scaling16_r8_results.json"
 
 RUNNER = r"""
 import json, sys, time
