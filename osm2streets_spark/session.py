@@ -52,6 +52,17 @@ def get_spark(app: str = "osm2streets-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         .config("spark.sql.session.timeZone", "UTC")
+        # static conf, must be set at session build: the default
+        # 100-entry codegen class cache thrashes on the flagship's ~236
+        # generated classes, so EVERY bench run re-Janino-compiles the
+        # whole pipeline (~2 s of serial driver time per run, measured
+        # via CodegenMetrics: 236/235/236 compiles on three repeat
+        # builds at 100 entries vs 9/0/4 at 4000). Scale-independent —
+        # a bigger class cache helps any repeated-plan workload and is
+        # bounded (~2k classes); it caches compiled bytecode, never
+        # data or results.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
         # PySpark 4 wraps every DataFrame op in a call-site capture
         # (2+ Py4J RPCs per op, for richer error messages). The
         # flagship's deep plans issue ~700 ops per build; the capture
